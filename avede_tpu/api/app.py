@@ -1,0 +1,549 @@
+"""The REST application — aiohttp server exposing the reference's API.
+
+Route-for-route rebuild of ``/root/reference/src/api/main.py`` (18
+routes, same paths, same response shapes), plus
+``POST /api/enhanced-person-detection`` which the reference only offers
+through its Streamlit UI (BASELINE.json names it as an endpoint).
+
+Design notes:
+- model-heavy work runs in a thread executor so the event loop stays
+  responsive (the reference blocks the uvicorn worker);
+- the processor builds lazily on first use, not at import
+  (the reference loads multi-GB models at import time, ``main.py:24``);
+- validation errors return 422 with pydantic details (FastAPI-style).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import functools
+import uuid
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+from aiohttp import web
+from pydantic import BaseModel, ValidationError
+
+from .. import __version__
+from ..utils.config import settings
+from ..utils.errors import error_log
+from ..utils.logging import get_logger
+from ..utils.metrics import get_monitor
+from .schemas import (BackgroundIndependenceRequest, ImageMatchingRequest,
+                      PersonSearchRequest, QueryRequest,
+                      SmallObjectDetectionRequest, UnlimitedDetectionRequest)
+
+logger = get_logger(__name__)
+
+
+class ApiState:
+    """Lazily-built processor shared by handlers."""
+
+    def __init__(self, processor=None) -> None:
+        self._processor = processor
+
+    @property
+    def processor(self):
+        if self._processor is None:
+            from ..services.video_processor import VideoProcessor
+
+            self._processor = VideoProcessor()
+        return self._processor
+
+
+def _json(data: Dict[str, Any], status: int = 200) -> web.Response:
+    return web.json_response(data, status=status)
+
+
+def _validated(model: type[BaseModel]):
+    """Decorator: parse+validate the JSON body into ``model`` → handler
+    receives the instance; invalid bodies → 422 (FastAPI parity)."""
+
+    def deco(handler: Callable):
+        @functools.wraps(handler)
+        async def wrapper(request: web.Request):
+            try:
+                body = await request.json()
+            except Exception:  # noqa: BLE001
+                return _json({"detail": "invalid JSON body"}, 422)
+            try:
+                parsed = model.model_validate(body)
+            except ValidationError as exc:
+                return _json({"detail": exc.errors(include_url=False)}, 422)
+            return await handler(request, parsed)
+
+        return wrapper
+
+    return deco
+
+
+async def _run_blocking(fn, *args, **kwargs):
+    loop = asyncio.get_running_loop()
+    return await loop.run_in_executor(
+        None, functools.partial(fn, *args, **kwargs))
+
+
+def _resolve_or_404(state: ApiState, video_id: str) -> Optional[str]:
+    try:
+        return state.processor.resolve_video(video_id)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+# ---------------------------------------------------------------------------
+# handlers
+# ---------------------------------------------------------------------------
+
+async def root(request: web.Request) -> web.Response:
+    return _json({
+        "message": "Video Event Detection API (TPU-native)",
+        "version": __version__,
+        "endpoints": {
+            "/api/upload": "POST - Upload video file",
+            "/api/query": "POST - Process event detection query",
+            "/api/unlimited-detection": "POST - Unlimited object detection",
+            "/api/small-object-detection": "POST - Small-object detection",
+            "/api/background-independence": "POST - Background-independent detection",
+            "/api/image-matching": "POST - Image matching (multipart)",
+            "/api/image-matching-by-id": "POST - Image matching by image_id",
+            "/api/enhanced-person-detection": "POST - Person re-identification",
+            "/api/upload-image": "POST - Upload reference image",
+            "/api/download/{clip_filename}": "GET - Download extracted clip",
+            "/api/health": "GET - Health check",
+            "/api/videos": "GET - List videos",
+            "/api/clips": "GET - List clips",
+            "/api/images": "GET - List reference images",
+            "/api/matching-modes": "GET - Matching modes",
+            "/api/detection-modes": "GET - Detection modes",
+            "/api/small-object-capabilities": "GET - Small-object capabilities",
+            "/api/metrics": "GET - Runtime metrics",
+        },
+    })
+
+
+async def health(request: web.Request) -> web.Response:
+    return _json({"status": "healthy", "service": "video-event-detection",
+                  "errors": error_log.health()["total"]})
+
+
+async def metrics(request: web.Request) -> web.Response:
+    return _json(get_monitor().summary())
+
+
+async def upload_video(request: web.Request) -> web.Response:
+    reader = await request.multipart()
+    field = None
+    async for part in reader:
+        if part.name == "file":
+            field = part
+            break
+    if field is None:
+        return _json({"detail": "missing 'file' field"}, 422)
+    filename = field.filename or "upload.mp4"
+    ext = Path(filename).suffix.lstrip(".").lower()
+    if ext not in settings.SUPPORTED_FORMATS:
+        return _json({"detail": f"unsupported format '{ext}'"}, 400)
+    video_id = uuid.uuid4().hex
+    dest = Path(settings.VIDEO_DIR)
+    dest.mkdir(parents=True, exist_ok=True)
+    path = dest / f"{video_id}.{ext}"
+    size = 0
+    max_bytes = int(settings.MAX_VIDEO_SIZE_GB * (1024 ** 3))
+    with path.open("wb") as f:
+        while True:
+            chunk = await field.read_chunk(1 << 20)
+            if not chunk:
+                break
+            size += len(chunk)
+            if size > max_bytes:
+                f.close()
+                path.unlink(missing_ok=True)
+                return _json({"detail": "file too large"}, 400)
+            f.write(chunk)
+    return _json({"video_id": video_id, "status": "uploaded",
+                  "filename": filename, "path": str(path),
+                  "format": ext, "size": size})
+
+
+@_validated(QueryRequest)
+async def query(request: web.Request, req: QueryRequest) -> web.Response:
+    state: ApiState = request.app["state"]
+    video = _resolve_or_404(state, req.video_id)
+    if video is None:
+        return _json({"detail": f"video not found: {req.video_id}"}, 404)
+    with get_monitor().track("query", mode=req.mode):
+        out = await _run_blocking(
+            state.processor.process_query, video, req.query, mode=req.mode,
+            top_k=req.top_k, threshold=req.threshold, video_id=req.video_id)
+    return _json(out, 200 if out.get("status") != "error" else 500)
+
+
+@_validated(UnlimitedDetectionRequest)
+async def unlimited_detection(request: web.Request,
+                              req: UnlimitedDetectionRequest) -> web.Response:
+    state: ApiState = request.app["state"]
+    video = _resolve_or_404(state, req.video_id)
+    if video is None:
+        return _json({"detail": f"video not found: {req.video_id}"}, 404)
+    with get_monitor().track("unlimited_detection", mode=req.detection_mode):
+        out = await _run_blocking(
+            state.processor.process_unlimited_detection, video,
+            req.object_queries, detection_mode=req.detection_mode,
+            matching_precision=req.matching_precision, top_k=req.top_k,
+            confidence_threshold=req.confidence_threshold,
+            video_id=req.video_id)
+    return _json(out, 200 if out.get("status") != "error" else 500)
+
+
+@_validated(SmallObjectDetectionRequest)
+async def small_object_detection(request: web.Request,
+                                 req: SmallObjectDetectionRequest
+                                 ) -> web.Response:
+    state: ApiState = request.app["state"]
+    video = _resolve_or_404(state, req.video_id)
+    if video is None:
+        return _json({"detail": f"video not found: {req.video_id}"}, 404)
+    with get_monitor().track("small_object_detection"):
+        out = await _run_blocking(
+            state.processor.process_small_object_detection, video,
+            req.object_queries, video_id=req.video_id,
+            min_object_size=req.min_object_size,
+            max_object_size=req.max_object_size,
+            confidence_threshold=req.confidence_threshold,
+            top_k=req.top_k,
+            enable_background_independence=req.enable_background_independence,
+            enable_adaptive_thresholds=req.enable_adaptive_thresholds,
+            enable_rpn=req.enable_rpn)
+    return _json(out, 200 if out.get("status") != "error" else 500)
+
+
+@_validated(BackgroundIndependenceRequest)
+async def background_independence(request: web.Request,
+                                  req: BackgroundIndependenceRequest
+                                  ) -> web.Response:
+    state: ApiState = request.app["state"]
+    video = _resolve_or_404(state, req.video_id)
+    if video is None:
+        return _json({"detail": f"video not found: {req.video_id}"}, 404)
+    with get_monitor().track("background_independence"):
+        out = await _run_blocking(
+            state.processor.process_background_independence, video,
+            req.object_queries, video_id=req.video_id,
+            background_removal_strength=req.background_removal_strength,
+            confidence_threshold=req.confidence_threshold, top_k=req.top_k)
+    return _json(out, 200 if out.get("status") != "error" else 500)
+
+
+async def upload_image(request: web.Request) -> web.Response:
+    reader = await request.multipart()
+    field = None
+    async for part in reader:
+        if part.name == "file":
+            field = part
+            break
+    if field is None:
+        return _json({"detail": "missing 'file' field"}, 422)
+    filename = field.filename or "image.jpg"
+    ext = Path(filename).suffix.lstrip(".").lower()
+    if ext not in ("jpg", "jpeg", "png", "bmp", "webp"):
+        return _json({"detail": f"unsupported image format '{ext}'"}, 400)
+    image_id = uuid.uuid4().hex
+    dest = Path(settings.IMAGE_DIR)
+    dest.mkdir(parents=True, exist_ok=True)
+    path = dest / f"{image_id}.{ext}"
+    data = bytearray()
+    while True:
+        chunk = await field.read_chunk(1 << 20)
+        if not chunk:
+            break
+        data.extend(chunk)
+    path.write_bytes(data)
+    return _json({"image_id": image_id, "status": "uploaded",
+                  "filename": filename, "path": str(path), "size": len(data)})
+
+
+def _load_image(path: str):
+    import cv2
+    import numpy as np
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        return None
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def _find_image(image_id: str) -> Optional[str]:
+    base = Path(settings.IMAGE_DIR)
+    for p in base.glob(f"{image_id}.*"):
+        return str(p)
+    return None
+
+
+async def image_matching(request: web.Request) -> web.Response:
+    """Multipart: JSON fields + reference_image file (reference
+    ``main.py:403-455``)."""
+    state: ApiState = request.app["state"]
+    reader = await request.multipart()
+    fields: Dict[str, Any] = {}
+    image = None
+    async for part in reader:
+        if part.name == "reference_image":
+            data = bytearray()
+            while True:
+                chunk = await part.read_chunk(1 << 20)
+                if not chunk:
+                    break
+                data.extend(chunk)
+            import cv2
+            import numpy as np
+
+            arr = np.frombuffer(bytes(data), np.uint8)
+            img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+            if img is not None:
+                image = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        else:
+            fields[part.name] = (await part.read()).decode()
+    if image is None:
+        return _json({"detail": "missing or undecodable reference_image"}, 422)
+    try:
+        req = ImageMatchingRequest.model_validate(fields)
+    except ValidationError as exc:
+        return _json({"detail": exc.errors(include_url=False)}, 422)
+    video = _resolve_or_404(state, req.video_id)
+    if video is None:
+        return _json({"detail": f"video not found: {req.video_id}"}, 404)
+    with get_monitor().track("image_matching", mode=req.matching_mode):
+        out = await _run_blocking(
+            state.processor.process_image_matching, video, image,
+            matching_mode=req.matching_mode, target_class=req.target_class,
+            top_k=req.top_k, similarity_threshold=req.similarity_threshold,
+            video_id=req.video_id)
+    return _json(out, 200 if out.get("status") != "error" else 500)
+
+
+async def image_matching_by_id(request: web.Request) -> web.Response:
+    state: ApiState = request.app["state"]
+    try:
+        body = await request.json()
+    except Exception:  # noqa: BLE001
+        return _json({"detail": "invalid JSON body"}, 422)
+    image_id = body.pop("image_id", None) or request.query.get("image_id")
+    if not image_id:
+        return _json({"detail": "missing image_id"}, 422)
+    try:
+        req = ImageMatchingRequest.model_validate(body)
+    except ValidationError as exc:
+        return _json({"detail": exc.errors(include_url=False)}, 422)
+    img_path = _find_image(image_id)
+    if img_path is None:
+        return _json({"detail": f"image not found: {image_id}"}, 404)
+    image = _load_image(img_path)
+    if image is None:
+        return _json({"detail": f"cannot decode image: {image_id}"}, 400)
+    video = _resolve_or_404(state, req.video_id)
+    if video is None:
+        return _json({"detail": f"video not found: {req.video_id}"}, 404)
+    with get_monitor().track("image_matching", mode=req.matching_mode):
+        out = await _run_blocking(
+            state.processor.process_image_matching, video, image,
+            matching_mode=req.matching_mode, target_class=req.target_class,
+            top_k=req.top_k, similarity_threshold=req.similarity_threshold,
+            video_id=req.video_id)
+    return _json(out, 200 if out.get("status") != "error" else 500)
+
+
+@_validated(PersonSearchRequest)
+async def enhanced_person_detection(request: web.Request,
+                                    req: PersonSearchRequest) -> web.Response:
+    state: ApiState = request.app["state"]
+    video = _resolve_or_404(state, req.video_id)
+    if video is None:
+        return _json({"detail": f"video not found: {req.video_id}"}, 404)
+    img_path = _find_image(req.image_id)
+    if img_path is None:
+        return _json({"detail": f"image not found: {req.image_id}"}, 404)
+    image = _load_image(img_path)
+    if image is None:
+        return _json({"detail": f"cannot decode image: {req.image_id}"}, 400)
+    with get_monitor().track("person_detection"):
+        out = await _run_blocking(
+            state.processor.process_person_search, video, image,
+            similarity_threshold=req.similarity_threshold,
+            frame_skip=req.frame_skip,
+            temporal_consistency=req.temporal_consistency,
+            save_annotated_frames=req.save_annotated_frames)
+    return _json(out, 200 if out.get("status") != "error" else 500)
+
+
+async def download_clip(request: web.Request) -> web.Response:
+    name = request.match_info["clip_filename"]
+    path = Path(settings.CLIP_DIR) / name
+    # prevent path traversal
+    if "/" in name or ".." in name or not path.exists():
+        return _json({"detail": "Clip not found"}, 404)
+    return web.FileResponse(path, headers={
+        "Content-Type": "video/mp4",
+        "Content-Disposition": f'attachment; filename="{name}"'})
+
+
+async def list_videos(request: web.Request) -> web.Response:
+    base = Path(settings.VIDEO_DIR)
+    videos = []
+    if base.exists():
+        for p in sorted(base.glob("*")):
+            ext = p.suffix.lower().lstrip(".")
+            if p.is_file() and ext in settings.SUPPORTED_FORMATS:
+                st = p.stat()
+                videos.append({"video_id": p.stem, "filename": p.name,
+                               "format": ext, "size": st.st_size,
+                               "created": st.st_ctime})
+    return _json({"videos": videos})
+
+
+async def list_clips(request: web.Request) -> web.Response:
+    base = Path(settings.CLIP_DIR)
+    clips = []
+    if base.exists():
+        for p in sorted(base.glob("*.mp4")):
+            st = p.stat()
+            clips.append({"clip_id": p.stem, "filename": p.name,
+                          "size": st.st_size, "created": st.st_ctime})
+    return _json({"clips": clips})
+
+
+async def list_images(request: web.Request) -> web.Response:
+    base = Path(settings.IMAGE_DIR)
+    images = []
+    if base.exists():
+        for p in sorted(base.glob("*")):
+            if p.is_file():
+                st = p.stat()
+                images.append({"image_id": p.stem, "filename": p.name,
+                               "size": st.st_size, "created": st.st_ctime})
+    return _json({"images": images})
+
+
+async def matching_modes(request: web.Request) -> web.Response:
+    descriptions = {
+        "traditional": "Multi-stage pHash → CLIP → SSIM → features pipeline",
+        "object_focused": "Detector-guided: match objects, ignore background",
+        "cross_domain": "Color↔grayscale / lighting-invariant features",
+        "hybrid": "Object + cross-domain + traditional ensemble",
+        "smart_match": "Image-analysis-driven adaptive ensemble",
+        "fast_match": "Single-stage CLIP-only (fastest)",
+    }
+    return _json({"matching_modes": [
+        {"mode": m, "description": descriptions.get(m, ""),
+         "default_threshold": settings.MATCHING_THRESHOLDS.get(m)}
+        for m in settings.MATCHING_MODES]})
+
+
+async def detection_modes(request: web.Request) -> web.Response:
+    descriptions = {
+        "hybrid": "OWL-ViT ∥ CLIP-grid fusion (best coverage)",
+        "owlvit": "Open-vocabulary transformer detection",
+        "clip": "CLIP sliding-grid similarity detection",
+        "yolo_enhanced": "YOLO detection + CLIP semantic filtering",
+    }
+    return _json({
+        "detection_modes": [
+            {"mode": m, "description": descriptions.get(m, "")}
+            for m in settings.DETECTION_MODES],
+        "matching_precisions": [
+            {"precision": k, "confidence_threshold": v}
+            for k, v in settings.MATCHING_PRECISIONS.items()],
+    })
+
+
+async def small_object_capabilities(request: web.Request) -> web.Response:
+    return _json({
+        "capabilities": {
+            "tiled_inference": {
+                "description": "Fixed-grid tiling of high-resolution frames "
+                               "with overlap, batched through the detector "
+                               "on-device, merged by padded NMS",
+                "tile_size": settings.TILE_SIZE,
+                "tile_overlap": settings.TILE_OVERLAP,
+            },
+            "adaptive_thresholds": {
+                "description": "Size-category and context-aware confidence "
+                               "thresholds",
+                "size_categories": settings.SMALL_OBJECT_SIZES,
+                "base_thresholds": settings.SMALL_OBJECT_BASE_THRESHOLDS,
+                "confidence_boosts": settings.SMALL_OBJECT_BOOSTS,
+            },
+            "region_proposals": {
+                "description": "Saliency + motion region proposals for "
+                               "focused small-object scanning",
+                "max_proposals": settings.RPN_MAX_PROPOSALS,
+            },
+            "background_independence": {
+                "description": "Segmentation-based background removal with "
+                               "shape descriptors + multi-colorspace "
+                               "embeddings",
+            },
+        },
+        "multi_scale_weights": settings.MULTI_SCALE_WEIGHTS,
+    })
+
+
+# ---------------------------------------------------------------------------
+# app factory
+# ---------------------------------------------------------------------------
+
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        resp = web.Response()
+    else:
+        resp = await handler(request)
+    resp.headers["Access-Control-Allow-Origin"] = ",".join(
+        settings.CORS_ORIGINS)
+    resp.headers["Access-Control-Allow-Methods"] = "GET,POST,OPTIONS"
+    resp.headers["Access-Control-Allow-Headers"] = "Content-Type"
+    return resp
+
+
+def create_app(processor=None) -> web.Application:
+    settings.ensure_dirs()
+    app = web.Application(middlewares=[cors_middleware],
+                          client_max_size=int(
+                              settings.MAX_VIDEO_SIZE_GB * (1024 ** 3)))
+    app["state"] = ApiState(processor)
+    app.add_routes([
+        web.get("/", root),
+        web.get("/api/health", health),
+        web.get("/api/metrics", metrics),
+        web.post("/api/upload", upload_video),
+        web.post("/api/query", query),
+        web.post("/api/unlimited-detection", unlimited_detection),
+        web.post("/api/small-object-detection", small_object_detection),
+        web.post("/api/background-independence", background_independence),
+        web.post("/api/image-matching", image_matching),
+        web.post("/api/image-matching-by-id", image_matching_by_id),
+        web.post("/api/enhanced-person-detection", enhanced_person_detection),
+        web.post("/api/upload-image", upload_image),
+        web.get("/api/download/{clip_filename}", download_clip),
+        web.get("/api/videos", list_videos),
+        web.get("/api/clips", list_clips),
+        web.get("/api/images", list_images),
+        web.get("/api/matching-modes", matching_modes),
+        web.get("/api/detection-modes", detection_modes),
+        web.get("/api/small-object-capabilities", small_object_capabilities),
+    ])
+    return app
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="AVEDE-TPU REST API")
+    parser.add_argument("--host", default=settings.API_HOST)
+    parser.add_argument("--port", type=int, default=settings.API_PORT)
+    args = parser.parse_args(argv)
+    logger.info("Starting API on %s:%d", args.host, args.port)
+    web.run_app(create_app(), host=args.host, port=args.port,
+                print=lambda *a: None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Persistent frame-embedding cache — ``data/embeddings/<video_id>.npz``.
+
+The reference reserves ``data/embeddings/`` but never writes to it
+(SURVEY.md §5 "Checkpoint/resume"); BASELINE requires the rebuild to
+define the format. Defined here, versioned:
+
+``<video_id>.npz`` (numpy zip) containing:
+- ``embeddings``  float32 [N, D] — unit-norm frame embeddings
+- ``timestamps``  float64 [N]    — seconds per sampled frame
+- ``meta``        JSON bytes     — {version, model_tag, frame_hw,
+                                    sample_rate, created}
+
+A cache entry is valid only if model tag + sampling parameters match —
+the analog of the reference ModelCache's config-hash validation
+(``/root/reference/src/utils/model_cache.py:233-315``).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.config import settings
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+FORMAT_VERSION = 1
+
+
+class EmbeddingCache:
+    def __init__(self, cache_dir: Optional[str] = None) -> None:
+        self.dir = Path(cache_dir or settings.EMBEDDING_DIR)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, video_id: str) -> Path:
+        return self.dir / f"{video_id}.npz"
+
+    def put(self, video_id: str, embeddings: np.ndarray,
+            timestamps: List[float], model_tag: str,
+            frame_hw: Tuple[int, int], sample_rate: int) -> str:
+        emb = np.ascontiguousarray(np.asarray(embeddings, dtype=np.float32))
+        meta = {
+            "version": FORMAT_VERSION,
+            "model_tag": model_tag,
+            "frame_hw": list(frame_hw),
+            "sample_rate": int(sample_rate),
+            "created": time.time(),
+        }
+        path = self._path(video_id)
+        np.savez_compressed(
+            path,
+            embeddings=emb,
+            timestamps=np.asarray(timestamps, dtype=np.float64),
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        )
+        logger.info("Cached %d embeddings for %s (%s)", len(emb), video_id,
+                    model_tag)
+        return str(path)
+
+    def get(self, video_id: str, model_tag: str, sample_rate: int
+            ) -> Optional[Tuple[np.ndarray, List[float]]]:
+        path = self._path(video_id)
+        if not path.exists():
+            return None
+        try:
+            with np.load(path) as z:
+                meta = json.loads(bytes(z["meta"].tobytes()).decode())
+                if (meta.get("version") != FORMAT_VERSION
+                        or meta.get("model_tag") != model_tag
+                        or meta.get("sample_rate") != sample_rate):
+                    logger.info("Embedding cache stale for %s "
+                                "(tag/rate/version mismatch)", video_id)
+                    return None
+                return (np.asarray(z["embeddings"], np.float32),
+                        [float(t) for t in z["timestamps"]])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError) as exc:
+            logger.warning("Corrupt embedding cache for %s: %s", video_id, exc)
+            return None
+
+    def invalidate(self, video_id: str) -> None:
+        self._path(video_id).unlink(missing_ok=True)
+
+    def stats(self) -> dict:
+        files = list(self.dir.glob("*.npz"))
+        return {"entries": len(files),
+                "bytes": sum(f.stat().st_size for f in files)}

@@ -1,0 +1,199 @@
+"""Video decode + frame sampling (host side).
+
+Behavioral contract from the reference ``FrameExtractor``
+(``/root/reference/src/services/frame_extractor.py``):
+
+- sample every ``FRAME_SAMPLE_RATE``-th frame (``:66``);
+- hard cap ``MAX_FRAMES`` (1000) with even redistribution across the
+  video (``:66-77``);
+- frames resized so max(H, W) ≤ ``FRAME_MAX_SIZE`` (512), aspect kept;
+- timestamps = frame_index / fps; fps falls back to 30 when the
+  container reports garbage (``:55-63``);
+- RGB uint8 output.
+
+TPU-first difference: decode happens ONCE per video (the reference
+decodes twice on the phase-2 path, ``phase2_reranker.py:52``) and the
+whole stack is handed to the device as one tensor; every frame of a
+video shares one (H, W) so jitted shapes stay static per video.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.config import settings
+from ..utils.errors import VideoDecodeError, VideoValidationError
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class VideoMeta:
+    path: str
+    fps: float
+    total_frames: int
+    duration: float
+    width: int
+    height: int
+
+
+def probe_video(path: str) -> VideoMeta:
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        raise VideoDecodeError(f"cannot open video: {path}")
+    try:
+        fps = cap.get(cv2.CAP_PROP_FPS)
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    finally:
+        cap.release()
+    if not fps or fps <= 0 or fps > 1000 or not np.isfinite(fps):
+        logger.warning("Suspicious FPS %s for %s; falling back to 30", fps, path)
+        fps = 30.0
+    duration = total / fps if total > 0 else 0.0
+    return VideoMeta(str(path), float(fps), total, duration, w, h)
+
+
+def validate_video(path: str) -> VideoMeta:
+    """Format whitelist + size cap (reference ``video_processor.py:817-847``)."""
+    p = Path(path)
+    if not p.exists():
+        raise VideoValidationError(f"video not found: {path}")
+    ext = p.suffix.lstrip(".").lower()
+    if ext not in settings.SUPPORTED_FORMATS:
+        raise VideoValidationError(
+            f"unsupported format '{ext}' (supported: {settings.SUPPORTED_FORMATS})")
+    size_gb = p.stat().st_size / (1024 ** 3)
+    if size_gb > settings.MAX_VIDEO_SIZE_GB:
+        raise VideoValidationError(
+            f"video too large: {size_gb:.2f} GB > {settings.MAX_VIDEO_SIZE_GB} GB")
+    return probe_video(path)
+
+
+def _fit_size(w: int, h: int, max_side: int) -> Tuple[int, int]:
+    if max(w, h) <= max_side:
+        return w, h
+    scale = max_side / max(w, h)
+    return max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
+
+
+def sample_indices(total_frames: int, sample_rate: int,
+                   max_frames: int) -> List[int]:
+    """Reference sampling semantics (``frame_extractor.py:66-77``):
+    every Nth frame, then even redistribution under the cap."""
+    idxs = list(range(0, max(total_frames, 0), max(sample_rate, 1)))
+    if len(idxs) > max_frames:
+        step = len(idxs) // max_frames
+        idxs = idxs[::step][:max_frames]
+    return [i for i in idxs if i < total_frames]
+
+
+class VideoReader:
+    """cv2-backed decoder with the reference's sampling semantics."""
+
+    def __init__(self, sample_rate: Optional[int] = None,
+                 max_frames: Optional[int] = None,
+                 max_side: Optional[int] = None) -> None:
+        self.sample_rate = sample_rate or settings.FRAME_SAMPLE_RATE
+        self.max_frames = max_frames or settings.MAX_FRAMES
+        self.max_side = max_side or settings.FRAME_MAX_SIZE
+
+    def extract_frames(self, path: str,
+                       sample_rate: Optional[int] = None,
+                       max_frames: Optional[int] = None
+                       ) -> Tuple[np.ndarray, List[float]]:
+        """→ (uint8 [N, H, W, 3] RGB, timestamps seconds).
+
+        Note: unlike the reference (``open_vocab_matcher.py:147-150``
+        passes ``sample_rate=`` into an API that rejects it — a latent
+        TypeError), per-call sampling overrides are supported here.
+        """
+        import cv2
+
+        meta = probe_video(path)
+        idxs = sample_indices(meta.total_frames,
+                              sample_rate or self.sample_rate,
+                              max_frames or self.max_frames)
+        if not idxs:
+            raise VideoDecodeError(
+                f"no sampleable frames in {path} (total={meta.total_frames})")
+
+        tw, th = _fit_size(meta.width, meta.height, self.max_side)
+        cap = cv2.VideoCapture(str(path))
+        if not cap.isOpened():
+            raise VideoDecodeError(f"cannot open video: {path}")
+        frames = np.empty((len(idxs), th, tw, 3), dtype=np.uint8)
+        try:
+            want = set(idxs)
+            order = {idx: n for n, idx in enumerate(idxs)}
+            # sequential scan beats per-frame seeking for dense sampling;
+            # seek only when gaps are large.
+            dense = len(idxs) > meta.total_frames / 20 if meta.total_frames else True
+            if dense:
+                pos = 0
+                got = 0
+                while got < len(idxs):
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    if pos in want:
+                        frames[order[pos]] = self._convert(frame, tw, th)
+                        got += 1
+                    pos += 1
+                if got < len(idxs):
+                    idxs = idxs[:got]
+                    frames = frames[:got]
+            else:
+                for n, idx in enumerate(idxs):
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+                    ok, frame = cap.read()
+                    if not ok:
+                        idxs = idxs[:n]
+                        frames = frames[:n]
+                        break
+                    frames[n] = self._convert(frame, tw, th)
+        finally:
+            cap.release()
+
+        if len(idxs) == 0:
+            raise VideoDecodeError(f"decoded zero frames from {path}")
+        timestamps = [float(i) / meta.fps for i in idxs]
+        logger.info("Extracted %d frames from %s (%dx%d, fps=%.2f)",
+                    len(idxs), path, tw, th, meta.fps)
+        return frames, timestamps
+
+    @staticmethod
+    def _convert(frame_bgr: np.ndarray, tw: int, th: int) -> np.ndarray:
+        import cv2
+
+        if frame_bgr.shape[1] != tw or frame_bgr.shape[0] != th:
+            frame_bgr = cv2.resize(frame_bgr, (tw, th),
+                                   interpolation=cv2.INTER_AREA)
+        return cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+
+    def read_frame_at(self, path: str, timestamp: float) -> np.ndarray:
+        """Single frame at a timestamp (RGB uint8, resized)."""
+        import cv2
+
+        meta = probe_video(path)
+        idx = min(max(int(round(timestamp * meta.fps)), 0),
+                  max(meta.total_frames - 1, 0))
+        cap = cv2.VideoCapture(str(path))
+        try:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+            ok, frame = cap.read()
+            if not ok:
+                raise VideoDecodeError(
+                    f"cannot read frame at {timestamp}s from {path}")
+        finally:
+            cap.release()
+        tw, th = _fit_size(meta.width, meta.height, self.max_side)
+        return self._convert(frame, tw, th)

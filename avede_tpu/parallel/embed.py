@@ -1,0 +1,173 @@
+"""The frame-embedding engine — heart of the TPU-native design.
+
+Replaces the reference's hot loop (one 224×224 torch forward per window,
+``/root/reference/src/pipeline/phase1_mvp.py:74-121`` +
+``openclip_model.py:152-198``) with: pad the whole frame stack to a
+compile bucket, shard it over the mesh's data axis, and run ONE jitted
+program = fused preprocess → ViT → unit-norm. Compilations are cached
+per (bucket, H, W) shape; ragged videos hit a handful of buckets
+(SURVEY.md §7.3.3). Text encoding ties the tokenizer's context length to
+the model config (pairing the reference leaves implicit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clip import CLIPConfig, CLIPModel, init_clip, vit_b32
+from ..models.convert import load_params
+from ..models.tokenizer import Tokenizer
+from ..ops.preprocess import clip_preprocess
+from ..utils.config import settings
+from ..utils.logging import get_logger
+from .mesh import MeshContext, get_mesh, pick_bucket
+
+logger = get_logger(__name__)
+
+
+class ClipEngine:
+    """Batched, mesh-sharded CLIP inference with host↔device plumbing."""
+
+    def __init__(self, cfg: Optional[CLIPConfig] = None,
+                 params: Optional[dict] = None,
+                 mesh: Optional[MeshContext] = None,
+                 weights_path: Optional[str] = None,
+                 image_size: Optional[int] = None) -> None:
+        self.cfg = cfg or vit_b32()
+        if image_size is not None and image_size != self.cfg.image_size:
+            self.cfg = CLIPConfig(**{**self.cfg.__dict__,
+                                     "image_size": image_size})
+        self.mesh = mesh or get_mesh()
+        weights_path = weights_path or settings.CLIP_WEIGHTS
+        if params is not None:
+            self.model = CLIPModel(self.cfg)
+            self.params = params
+            self._tag = "external"
+        elif weights_path:
+            self.model = CLIPModel(self.cfg)
+            self.params = load_params(weights_path)
+            self._tag = f"clip:{weights_path}"
+            logger.info("CLIP weights loaded from %s", weights_path)
+        else:
+            self.model, self.params = init_clip(self.cfg, seed=0)
+            self._tag = "clip:random-init"
+            logger.info("CLIP randomly initialised (no checkpoint "
+                        "configured — this image ships no weights)")
+        self.tokenizer = Tokenizer(vocab_size=self.cfg.vocab_size,
+                                   context_len=self.cfg.max_text_len)
+        # params replicated across the mesh once, up front
+        self.params = jax.device_put(self.params, self.mesh.replicated)
+        self._image_fns: Dict[Tuple[int, int, int], object] = {}
+        self._text_fn = None
+
+    @property
+    def model_tag(self) -> str:
+        return f"{self._tag}|{self.cfg.image_size}px"
+
+    # ------------------------------------------------------------------
+    def _image_fn(self, shape: Tuple[int, int, int]):
+        if shape not in self._image_fns:
+            model = self.model
+            size = self.cfg.image_size
+
+            @functools.partial(
+                jax.jit,
+                in_shardings=(self.mesh.replicated, self.mesh.data_sharded),
+                out_shardings=self.mesh.data_sharded)
+            def run(params, frames_u8):
+                px = clip_preprocess(frames_u8, size=size)
+                return model.apply({"params": params}, px,
+                                   method=model.encode_image)
+
+            self._image_fns[shape] = run
+        return self._image_fns[shape]
+
+    def embed_frames(self, frames: np.ndarray,
+                     device_out: bool = False) -> np.ndarray:
+        """uint8 [N, H, W, 3] → unit-norm float32 [N, D].
+
+        Pads to a data-axis-divisible bucket, runs chunks of at most
+        ``EMBED_BATCH_PER_DEVICE × n_data`` frames, strips padding.
+        """
+        n = len(frames)
+        if n == 0:
+            return np.zeros((0, self.cfg.projection_dim), np.float32)
+        chunk_cap = settings.EMBED_BATCH_PER_DEVICE * self.mesh.n_data
+        outs: List[np.ndarray] = []
+        for lo in range(0, n, chunk_cap):
+            part = frames[lo: lo + chunk_cap]
+            bucket = self.mesh.pad_to_data(
+                pick_bucket(len(part), settings.FRAME_BUCKETS))
+            padded = np.zeros((bucket,) + part.shape[1:], np.uint8)
+            padded[: len(part)] = part
+            sharded = jax.device_put(jnp.asarray(padded),
+                                     self.mesh.data_sharded)
+            emb = self._image_fn(part.shape[1:])(self.params, sharded)
+            outs.append(np.asarray(emb[: len(part)], np.float32))
+        result = np.concatenate(outs, axis=0)
+        return result
+
+    def embed_frames_device(self, frames: np.ndarray) -> jax.Array:
+        """Like ``embed_frames`` but keeps the (padded) result on device;
+        returns (embeddings [B, D], valid mask [B])."""
+        bucket = self.mesh.pad_to_data(
+            pick_bucket(len(frames), settings.FRAME_BUCKETS))
+        padded = np.zeros((bucket,) + frames.shape[1:], np.uint8)
+        padded[: len(frames)] = frames
+        sharded = jax.device_put(jnp.asarray(padded), self.mesh.data_sharded)
+        emb = self._image_fn(frames.shape[1:])(self.params, sharded)
+        valid = jnp.arange(bucket) < len(frames)
+        return emb, valid
+
+    # ------------------------------------------------------------------
+    def embed_texts(self, texts: Sequence[str] | str) -> np.ndarray:
+        """→ unit-norm float32 [Q, D]."""
+        if isinstance(texts, str):
+            texts = [texts]
+        ids = self.tokenizer(list(texts))
+        if self._text_fn is None:
+            model = self.model
+
+            @jax.jit
+            def run(params, ids):
+                return model.apply({"params": params}, ids,
+                                   method=model.encode_text)
+
+            self._text_fn = run
+        return np.asarray(self._text_fn(self.params, jnp.asarray(ids)),
+                          np.float32)
+
+    def embed_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        """Convenience for reference images of heterogeneous sizes: each
+        is preprocessed independently, then batched through the encoder."""
+        if len(images) == 0:
+            return np.zeros((0, self.cfg.projection_dim), np.float32)
+        size = self.cfg.image_size
+        batch = np.stack([
+            np.asarray(clip_preprocess(img[None].astype(np.uint8), size=size))[0]
+            for img in images])
+        fn = jax.jit(lambda p, x: self.model.apply(
+            {"params": p}, x, method=self.model.encode_image))
+        return np.asarray(fn(self.params, jnp.asarray(batch)), np.float32)
+
+
+_DEFAULT: Optional[ClipEngine] = None
+
+
+def get_engine() -> ClipEngine:
+    """Process-wide engine (role of the reference's model cache +
+    singleton ``VideoProcessor`` model ownership)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = ClipEngine()
+    return _DEFAULT
+
+
+def set_engine(engine: Optional[ClipEngine]) -> None:
+    global _DEFAULT
+    _DEFAULT = engine

@@ -1,0 +1,106 @@
+"""Phase 1 — the core text→video scan.
+
+Reference behavior (``/root/reference/src/pipeline/phase1_mvp.py:23-163``):
+extract frames → sliding windows (16/8) → encode query → score each
+window's MIDDLE frame by CLIP cosine → top-k above
+``CONFIDENCE_THRESHOLD`` → result dicts
+``{timestamp, confidence, phase, window_index}``.
+
+TPU rebuild: all sampled frames are embedded in one sharded, jitted
+program (``parallel/embed.py``); windows are index arithmetic
+(``ops/windows.py``); scoring + top-k is a single fused XLA program
+(``ops/similarity.window_topk``). Embeddings persist in the versioned
+cache so repeat queries skip decode AND embed entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.embedding_cache import EmbeddingCache
+from ..io.video_reader import VideoReader
+from ..ops.similarity import window_topk
+from ..ops.windows import window_middle_indices, window_timestamps
+from ..parallel.embed import ClipEngine, get_engine
+from ..utils.config import settings
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class Phase1Scan:
+    phase_name = "phase1_mvp"
+
+    def __init__(self, engine: Optional[ClipEngine] = None,
+                 reader: Optional[VideoReader] = None,
+                 cache: Optional[EmbeddingCache] = None) -> None:
+        self.engine = engine or get_engine()
+        self.reader = reader or VideoReader()
+        self.cache = cache if cache is not None else (
+            EmbeddingCache() if settings.EMBEDDING_CACHE_ENABLED else None)
+
+    # ------------------------------------------------------------------
+    def frame_embeddings(self, video_path: str, video_id: Optional[str] = None
+                         ) -> Tuple[np.ndarray, List[float]]:
+        """Embeddings+timestamps for all sampled frames, cache-aware."""
+        vid = video_id or _default_video_id(video_path)
+        if self.cache is not None:
+            hit = self.cache.get(vid, self.engine.model_tag,
+                                 self.reader.sample_rate)
+            if hit is not None:
+                logger.info("Embedding cache hit for %s (%d frames)",
+                            vid, len(hit[0]))
+                return hit
+        frames, ts = self.reader.extract_frames(video_path)
+        emb = self.engine.embed_frames(frames)
+        if self.cache is not None:
+            self.cache.put(vid, emb, ts, self.engine.model_tag,
+                           frames.shape[1:3], self.reader.sample_rate)
+        return emb, ts
+
+    # ------------------------------------------------------------------
+    def process_video(self, video_path: str, query: str,
+                      top_k: Optional[int] = None,
+                      threshold: Optional[float] = None,
+                      video_id: Optional[str] = None) -> List[Dict]:
+        top_k = top_k or settings.TOP_K_RESULTS
+        threshold = (settings.CONFIDENCE_THRESHOLD if threshold is None
+                     else threshold)
+
+        emb, ts = self.frame_embeddings(video_path, video_id)
+        n = len(emb)
+        mids = window_middle_indices(n, settings.WINDOW_SIZE,
+                                     settings.WINDOW_STRIDE)
+        wts = window_timestamps(ts, settings.WINDOW_SIZE,
+                                settings.WINDOW_STRIDE)
+        if len(mids) == 0:
+            return []
+
+        q = self.engine.embed_texts(query)[0]
+        k = min(top_k, len(mids))
+        vals, idx = window_topk(
+            jnp.asarray(emb), jnp.ones((n,), bool), jnp.asarray(q),
+            jnp.asarray(mids.astype(np.int32)), k=k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+
+        results = []
+        for v, i in zip(vals, idx):
+            if np.isfinite(v) and v >= threshold:
+                results.append({
+                    "timestamp": float(wts[int(i)]),
+                    "confidence": float(v),
+                    "phase": self.phase_name,
+                    "window_index": int(i),
+                })
+        logger.info("Phase 1: %d/%d windows above threshold %.2f for %r",
+                    len(results), len(mids), threshold, query)
+        return results
+
+
+def _default_video_id(video_path: str) -> str:
+    from pathlib import Path
+
+    return Path(video_path).stem

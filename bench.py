@@ -1,0 +1,83 @@
+"""Benchmark harness — ONE JSON line for the driver.
+
+Metric (BASELINE.json): frames/sec/chip for the CLIP ViT-B/32 scan of
+1080p video. Frames enter as decoded uint8 (512×288, the reference's
+≤512 resize of 1080p — ``frame_extractor.py:86-101``) and the measured
+program is the full device path: preprocess (crop/resize/normalize) →
+ViT-B/32 → unit-norm embedding → cosine scores, i.e. everything
+phase 1 does per frame after decode.
+
+``vs_baseline`` compares against the reference's only end-to-end
+throughput figure: ~30 FPS on an unspecified GPU (README.md:303,
+BASELINE.md).
+
+Runs on whatever backend is visible; on this image that is the single
+real TPU v5e chip (axon).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0  # reference README.md:303 (GPU)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from avede_tpu.models.clip import init_clip, vit_b32
+    from avede_tpu.ops.preprocess import clip_preprocess
+
+    dev = jax.devices()[0]
+    cfg = vit_b32()
+    model, params = init_clip(cfg, seed=0)
+
+    batch = 256
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(batch, 288, 512, 3), dtype=np.uint8)
+
+    @jax.jit
+    def scan(params, frames_u8, query):
+        px = clip_preprocess(frames_u8, size=cfg.image_size)
+        emb = model.apply({"params": params}, px,
+                          method=model.encode_image)
+        return jnp.dot(emb, query, preferred_element_type=jnp.float32)
+
+    query = jnp.asarray(np.random.default_rng(1).normal(
+        size=(cfg.projection_dim,)).astype(np.float32))
+    frames_dev = jax.device_put(jnp.asarray(frames), dev)
+    params = jax.device_put(params, dev)
+
+    # warmup: compile AND exercise the device→host transfer path (through
+    # the axon tunnel the first host materialization is slow)
+    for _ in range(2):
+        np.asarray(scan(params, frames_dev, query))
+
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        scores = np.asarray(scan(params, frames_dev, query))
+    dt = (time.perf_counter() - t0) / reps
+    fps = batch / dt
+
+    print(json.dumps({
+        "metric": "clip_scan_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "detail": {
+            "batch": batch,
+            "seconds_per_batch": round(dt, 4),
+            "device": str(dev),
+            "model": "ViT-B/32",
+            "input": "uint8 512x288 (decoded 1080p)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

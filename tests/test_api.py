@@ -1,0 +1,162 @@
+"""API tests (role of reference ``tests/test_api_endpoints.py``): real
+aiohttp app + real tiny-CLIP processor over synthetic videos — no route
+mocking (the reference mocks the whole processor; here the stack is
+cheap enough to run for real)."""
+
+import asyncio
+import io
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from tests.conftest import make_test_video
+
+
+def run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+@pytest.fixture()
+def api_client(tiny_clip, tmp_data_dirs):
+    """Sync-callable API client bound to a tiny-CLIP processor."""
+    from avede_tpu.models.clip import tiny_test_config
+    from avede_tpu.parallel.embed import ClipEngine
+    from avede_tpu.parallel.mesh import build_mesh
+    from avede_tpu.api.app import create_app
+    from avede_tpu.services.video_processor import VideoProcessor
+
+    model, params = tiny_clip
+    engine = ClipEngine(cfg=tiny_test_config(), params=params,
+                        mesh=build_mesh())
+    processor = VideoProcessor(engine=engine)
+    app = create_app(processor)
+
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+
+    class Sync:
+        def __init__(self):
+            self.loop = loop
+
+        def get(self, path, **kw):
+            return loop.run_until_complete(self._req("GET", path, **kw))
+
+        def post(self, path, **kw):
+            return loop.run_until_complete(self._req("POST", path, **kw))
+
+        async def _req(self, method, path, **kw):
+            resp = await client.request(method, path, **kw)
+            body = (await resp.json() if "json" in
+                    resp.headers.get("Content-Type", "") else
+                    await resp.read())
+            return resp.status, body
+
+    yield Sync()
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+class TestBasicEndpoints:
+    def test_root_lists_endpoints(self, api_client):
+        status, body = api_client.get("/")
+        assert status == 200
+        assert "/api/query" in body["endpoints"]
+
+    def test_health(self, api_client):
+        status, body = api_client.get("/api/health")
+        assert status == 200 and body["status"] == "healthy"
+
+    def test_metrics(self, api_client):
+        status, body = api_client.get("/api/metrics")
+        assert status == 200 and "operations" in body
+
+    def test_matching_modes(self, api_client):
+        status, body = api_client.get("/api/matching-modes")
+        modes = {m["mode"] for m in body["matching_modes"]}
+        assert {"smart_match", "cross_domain", "fast_match"} <= modes
+
+    def test_detection_modes(self, api_client):
+        status, body = api_client.get("/api/detection-modes")
+        assert {m["mode"] for m in body["detection_modes"]} == {
+            "hybrid", "owlvit", "clip", "yolo_enhanced"}
+
+    def test_small_object_capabilities(self, api_client):
+        status, body = api_client.get("/api/small-object-capabilities")
+        assert "tiled_inference" in body["capabilities"]
+
+
+class TestUploadAndQuery:
+    def test_upload_multipart(self, api_client, tmp_path):
+        import aiohttp
+
+        video_file = make_test_video(tmp_path / "up2.mp4")
+        form = aiohttp.FormData()
+        form.add_field("file", open(video_file, "rb"),
+                       filename="up2.mp4", content_type="video/mp4")
+        status, body = api_client.post("/api/upload", data=form)
+        assert status == 200
+        assert body["status"] == "uploaded"
+        vid = body["video_id"]
+
+        status, listing = api_client.get("/api/videos")
+        assert any(v["video_id"] == vid for v in listing["videos"])
+
+        status, out = api_client.post("/api/query", json={
+            "video_id": vid, "query": "white square", "mode": "mvp",
+            "threshold": -1.0})
+        assert status == 200
+        assert out["status"] == "completed"
+        assert out["total_found"] > 0
+
+        # clip listing + download
+        status, clips = api_client.get("/api/clips")
+        assert status == 200 and len(clips["clips"]) > 0
+        name = clips["clips"][0]["filename"]
+        status, data = api_client.get(f"/api/download/{name}")
+        assert status == 200 and len(data) > 0
+
+    def test_query_unknown_video_404(self, api_client):
+        status, body = api_client.post("/api/query", json={
+            "video_id": "nope", "query": "q"})
+        assert status == 404
+
+    def test_query_validation_422(self, api_client):
+        status, body = api_client.post("/api/query", json={"query": "q"})
+        assert status == 422
+
+    def test_query_invalid_json_422(self, api_client):
+        status, body = api_client.post(
+            "/api/query", data=b"not json",
+            headers={"Content-Type": "application/json"})
+        assert status == 422
+
+    def test_download_traversal_blocked(self, api_client):
+        status, _ = api_client.get("/api/download/..%2Fsecrets.mp4")
+        assert status == 404
+
+    def test_upload_bad_format_rejected(self, api_client):
+        import aiohttp
+
+        form = aiohttp.FormData()
+        form.add_field("file", b"x", filename="evil.exe")
+        status, body = api_client.post("/api/upload", data=form)
+        assert status == 400
+
+
+class TestImageEndpoints:
+    def test_upload_image_and_list(self, api_client):
+        import aiohttp
+        import cv2
+
+        img = np.zeros((32, 32, 3), np.uint8)
+        ok, buf = cv2.imencode(".png", img)
+        form = aiohttp.FormData()
+        form.add_field("file", buf.tobytes(), filename="ref.png",
+                       content_type="image/png")
+        status, body = api_client.post("/api/upload-image", data=form)
+        assert status == 200
+        image_id = body["image_id"]
+        status, listing = api_client.get("/api/images")
+        assert any(i["image_id"] == image_id for i in listing["images"])

@@ -1,0 +1,114 @@
+"""I/O layer tests: video reader, clip writer, embedding cache."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_test_video
+
+
+class TestVideoReader:
+    def test_extract_frames_shapes_and_timestamps(self, test_video):
+        from avede_tpu.io.video_reader import VideoReader
+
+        frames, ts = VideoReader().extract_frames(test_video)
+        assert frames.dtype == np.uint8
+        assert frames.ndim == 4 and frames.shape[-1] == 3
+        assert len(frames) == len(ts) == 75
+        assert ts[0] == 0.0
+        assert abs(ts[1] - 1 / 25.0) < 1e-6
+
+    def test_sample_rate_override(self, test_video):
+        from avede_tpu.io.video_reader import VideoReader
+
+        frames, ts = VideoReader().extract_frames(test_video, sample_rate=5)
+        assert len(frames) == 15
+
+    def test_max_frames_redistribution(self):
+        from avede_tpu.io.video_reader import sample_indices
+
+        idxs = sample_indices(5000, 1, 1000)
+        assert len(idxs) == 1000
+        assert idxs[0] == 0
+        # even spread: constant step
+        steps = set(np.diff(idxs))
+        assert steps == {5}
+
+    def test_validate_video_rejects_bad_format(self, tmp_path):
+        from avede_tpu.io.video_reader import validate_video
+        from avede_tpu.utils.errors import VideoValidationError
+
+        bad = tmp_path / "x.txt"
+        bad.write_text("nope")
+        with pytest.raises(VideoValidationError):
+            validate_video(str(bad))
+
+    def test_validate_missing(self):
+        from avede_tpu.io.video_reader import validate_video
+        from avede_tpu.utils.errors import VideoValidationError
+
+        with pytest.raises(VideoValidationError):
+            validate_video("/does/not/exist.mp4")
+
+    def test_read_frame_at(self, test_video):
+        from avede_tpu.io.video_reader import VideoReader
+
+        f = VideoReader().read_frame_at(test_video, 1.0)
+        assert f.dtype == np.uint8 and f.shape[-1] == 3
+
+
+class TestClipWriter:
+    def test_extract_clip_dict_contract(self, test_video, tmp_path):
+        from avede_tpu.io.clip_writer import ClipWriter
+
+        w = ClipWriter(clip_dir=str(tmp_path / "clips"))
+        out = w.extract_clip(test_video, 0.5, 2.0)
+        assert set(out) >= {"clip_path", "clip_filename", "start_time",
+                            "end_time", "duration"}
+        assert out["start_time"] == 0.5
+        import os
+        assert os.path.getsize(out["clip_path"]) > 0
+
+    def test_clamping_to_duration(self, test_video, tmp_path):
+        from avede_tpu.io.clip_writer import ClipWriter
+
+        w = ClipWriter(clip_dir=str(tmp_path / "clips"))
+        out = w.extract_clip(test_video, -5.0, 9999.0)
+        assert out["start_time"] == 0.0
+        assert out["end_time"] <= 3.01  # 75 frames @25fps = 3s
+
+    def test_padding_centers_window(self, test_video, tmp_path):
+        from avede_tpu.io.clip_writer import ClipWriter
+
+        w = ClipWriter(clip_dir=str(tmp_path / "clips"))
+        out = w.extract_clip_with_padding(test_video, 1.5, duration=2.0)
+        assert abs(out["start_time"] - 0.5) < 1e-6
+        assert abs(out["end_time"] - 2.5) < 1e-6
+
+
+class TestEmbeddingCache:
+    def test_roundtrip(self, tmp_path):
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+
+        c = EmbeddingCache(str(tmp_path))
+        emb = np.random.default_rng(0).normal(size=(10, 8)).astype(np.float32)
+        ts = [float(i) for i in range(10)]
+        c.put("vid1", emb, ts, "clip:test", (64, 96), 1)
+        got = c.get("vid1", "clip:test", 1)
+        assert got is not None
+        np.testing.assert_array_equal(got[0], emb)
+        assert got[1] == ts
+
+    def test_model_tag_mismatch_invalidates(self, tmp_path):
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+
+        c = EmbeddingCache(str(tmp_path))
+        c.put("vid1", np.zeros((2, 4), np.float32), [0.0, 1.0],
+              "clip:a", (64, 96), 1)
+        assert c.get("vid1", "clip:b", 1) is None
+        assert c.get("vid1", "clip:a", 2) is None
+        assert c.get("vid1", "clip:a", 1) is not None
+
+    def test_missing(self, tmp_path):
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+
+        assert EmbeddingCache(str(tmp_path)).get("nope", "t", 1) is None

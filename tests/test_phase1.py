@@ -1,0 +1,110 @@
+"""Phase-1 pipeline + processor facade integration tests (tiny CLIP,
+synthetic video, virtual mesh)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_test_video
+
+
+@pytest.fixture()
+def tiny_engine(tiny_clip):
+    from avede_tpu.models.clip import tiny_test_config
+    from avede_tpu.parallel.embed import ClipEngine
+    from avede_tpu.parallel.mesh import build_mesh
+
+    model, params = tiny_clip
+    return ClipEngine(cfg=tiny_test_config(), params=params,
+                      mesh=build_mesh())
+
+
+class TestPhase1:
+    def test_process_video_end_to_end(self, test_video, tiny_engine,
+                                      tmp_path):
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+
+        scan = Phase1Scan(tiny_engine,
+                          cache=EmbeddingCache(str(tmp_path / "emb")))
+        results = scan.process_video(test_video, "a white square moving",
+                                     top_k=5, threshold=-1.0)
+        assert len(results) > 0
+        for r in results:
+            assert set(r) == {"timestamp", "confidence", "phase",
+                              "window_index"}
+            assert r["phase"] == "phase1_mvp"
+        # sorted by confidence desc
+        confs = [r["confidence"] for r in results]
+        assert confs == sorted(confs, reverse=True)
+
+    def test_embedding_cache_used_on_second_call(self, test_video,
+                                                 tiny_engine, tmp_path):
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+
+        cache = EmbeddingCache(str(tmp_path / "emb"))
+        scan = Phase1Scan(tiny_engine, cache=cache)
+        emb1, ts1 = scan.frame_embeddings(test_video, video_id="v1")
+        assert cache.get("v1", tiny_engine.model_tag, 1) is not None
+
+        # second call must not decode: break the reader to prove it
+        scan.reader.extract_frames = None  # type: ignore
+        emb2, ts2 = scan.frame_embeddings(test_video, video_id="v1")
+        np.testing.assert_allclose(emb1, emb2, atol=1e-6)
+
+    def test_threshold_filters(self, test_video, tiny_engine, tmp_path):
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+
+        scan = Phase1Scan(tiny_engine,
+                          cache=EmbeddingCache(str(tmp_path / "emb")))
+        results = scan.process_video(test_video, "query", threshold=2.0)
+        assert results == []
+
+
+class TestQueryRewrite:
+    def test_reference_semantics(self):
+        from avede_tpu.services.query_rewrite import preprocess_query
+
+        assert preprocess_query("The man runs") == "man running"
+        assert preprocess_query("a pedestrian walks") == "person walking"
+        assert preprocess_query("very   dark blue automobile") == "navy car"
+        assert preprocess_query("REALLY pretty the dog sits") == "dog sitting"
+
+
+class TestVideoProcessor:
+    @pytest.fixture()
+    def processor(self, tiny_engine, tmp_data_dirs):
+        from avede_tpu.services.video_processor import VideoProcessor
+
+        return VideoProcessor(engine=tiny_engine)
+
+    def test_process_query_mvp(self, processor, tmp_data_dirs):
+        video = make_test_video(tmp_data_dirs / "videos" / "abc123.mp4")
+        out = processor.process_query(video, "white square", mode="mvp",
+                                      threshold=-1.0, extract_clips=True)
+        assert out["status"] == "completed"
+        assert out["total_found"] == len(out["results"]) > 0
+        assert out["metadata"]["mode"] == "mvp"
+        # clips attached and on disk
+        import os
+        assert all(os.path.exists(r["clip_path"]) for r in out["results"])
+
+    def test_unknown_mode_envelope(self, processor, tmp_data_dirs):
+        video = make_test_video(tmp_data_dirs / "videos" / "v2.mp4")
+        out = processor.process_query(video, "q", mode="bogus")
+        assert out["status"] == "error"
+        assert "bogus" in out["error"]
+
+    def test_resolve_video(self, processor, tmp_data_dirs):
+        make_test_video(tmp_data_dirs / "videos" / "vidx.mp4")
+        assert processor.resolve_video("vidx").endswith("vidx.mp4")
+        from avede_tpu.utils.errors import AvedeError
+
+        with pytest.raises(AvedeError):
+            processor.resolve_video("missing")
+
+    def test_validate_video(self, processor, tmp_data_dirs):
+        video = make_test_video(tmp_data_dirs / "videos" / "v3.mp4")
+        info = processor.validate_video(video)
+        assert info["valid"] and info["total_frames"] == 75
