@@ -1,0 +1,334 @@
+"""BLIP image-captioning model (vision ViT + BERT-style cross-attention
+text decoder) in Flax, with TPU-native greedy decoding.
+
+Re-implements the model behind the reference's ``BLIPModel`` wrapper
+(``/root/reference/src/models/blip_model.py``; default checkpoint
+``Salesforce/blip-image-captioning-base``, ``config.py:27``). Numerics
+match HF ``BlipForConditionalGeneration`` so converted torch checkpoints
+reproduce reference captions (validated in tests/test_blip_parity.py).
+
+TPU-native decode: the reference calls ``model.generate(max_length=50)``
+— dynamic-length autoregressive decode on GPU (``blip_model.py:344``).
+Here decoding is a ``lax.scan`` over a STATIC ``max_len`` with a KV
+cache carried functionally, so the whole caption loop is one XLA
+program; batches of candidate frames decode together (the reference
+captions one frame per call).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class BlipConfig:
+    # vision tower
+    image_size: int = 384
+    patch_size: int = 16
+    vision_dim: int = 768
+    vision_depth: int = 12
+    vision_heads: int = 12
+    vision_mlp: int = 3072
+    vision_ln_eps: float = 1e-5         # HF BlipVisionConfig default
+    # text decoder (BERT-style, post-LN)
+    vocab_size: int = 30524
+    text_dim: int = 768
+    text_depth: int = 12
+    text_heads: int = 12
+    text_mlp: int = 3072
+    max_pos: int = 512
+    text_ln_eps: float = 1e-12
+    bos_token_id: int = 30522           # [DEC]
+    eos_token_id: int = 102             # [SEP]
+    pad_token_id: int = 0
+    max_caption_len: int = 50
+    dtype: str = "float32"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def jnp_dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.dtype)
+
+
+def blip_base() -> BlipConfig:
+    return BlipConfig()
+
+
+def tiny_blip_config() -> BlipConfig:
+    return BlipConfig(image_size=32, patch_size=8, vision_dim=64,
+                      vision_depth=2, vision_heads=4, vision_mlp=128,
+                      vocab_size=100, text_dim=64, text_depth=2,
+                      text_heads=4, text_mlp=128, max_pos=32,
+                      bos_token_id=98, eos_token_id=99,
+                      vision_ln_eps=1e-5, max_caption_len=12)
+
+
+# ---------------------------------------------------------------------------
+# vision tower (BLIP flavor: fused qkv, conv bias, no pre-LN)
+# ---------------------------------------------------------------------------
+
+class BlipVisionLayer(nn.Module):
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        dt = cfg.jnp_dtype
+        d, h = cfg.vision_dim, cfg.vision_heads
+        hd = d // h
+
+        y = nn.LayerNorm(epsilon=cfg.vision_ln_eps, dtype=dt,
+                         name="layer_norm1")(x)
+        qkv = nn.Dense(3 * d, dtype=dt, name="qkv")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], h, hd)
+
+        q, k, v = split(q), split(k), split(v)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / jnp.sqrt(
+            jnp.asarray(hd, jnp.float32))
+        a = jax.nn.softmax(s, axis=-1).astype(dt)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(
+            x.shape[0], x.shape[1], d)
+        x = x + nn.Dense(d, dtype=dt, name="projection")(o)
+
+        y = nn.LayerNorm(epsilon=cfg.vision_ln_eps, dtype=dt,
+                         name="layer_norm2")(x)
+        y = nn.Dense(cfg.vision_mlp, dtype=dt, name="fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(d, dtype=dt, name="fc2")(y)
+        return x + y
+
+
+class BlipVisionEncoder(nn.Module):
+    """Pixels (ImageNet-ish BLIP normalization applied by caller) →
+    patch-token hidden states [N, P+1, D]."""
+
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, pixels: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        dt = cfg.jnp_dtype
+        x = nn.Conv(cfg.vision_dim, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size),
+                    dtype=dt, name="patch_embedding")(pixels.astype(dt))
+        n = x.shape[0]
+        x = x.reshape(n, cfg.num_patches, cfg.vision_dim)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (cfg.vision_dim,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(dt), (n, 1, cfg.vision_dim)), x],
+            axis=1)
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (cfg.num_patches + 1, cfg.vision_dim))
+        x = x + pos.astype(dt)
+        for i in range(cfg.vision_depth):
+            x = BlipVisionLayer(cfg, name=f"layers_{i}")(x)
+        return nn.LayerNorm(epsilon=cfg.vision_ln_eps, dtype=dt,
+                            name="post_layernorm")(x)
+
+
+# ---------------------------------------------------------------------------
+# text decoder (BERT post-LN with cross-attention)
+# ---------------------------------------------------------------------------
+
+class BertAttention(nn.Module):
+    cfg: BlipConfig
+    cross: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, kv: jax.Array,
+                 mask: Optional[jax.Array],
+                 kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 cache_index: Optional[jax.Array] = None):
+        cfg = self.cfg
+        dt = cfg.jnp_dtype
+        d, h = cfg.text_dim, cfg.text_heads
+        hd = d // h
+        q = nn.Dense(d, dtype=dt, name="query")(x)
+        k = nn.Dense(d, dtype=dt, name="key")(kv)
+        v = nn.Dense(d, dtype=dt, name="value")(kv)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], h, hd)
+
+        q, k, v = split(q), split(k), split(v)
+        new_cache = None
+        if kv_cache is not None:
+            # decode step: write this step's k/v at cache_index, attend
+            # over the cache
+            ck, cv = kv_cache
+            ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_index, 0, 0))
+            k, v = ck, cv
+            new_cache = (ck, cv)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / jnp.sqrt(
+            jnp.asarray(hd, jnp.float32))
+        if mask is not None:
+            s = jnp.where(mask, s, jnp.finfo(s.dtype).min)
+        a = jax.nn.softmax(s, axis=-1).astype(dt)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(
+            x.shape[0], x.shape[1], d)
+        return o, new_cache
+
+
+class BlipTextLayer(nn.Module):
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, x, vision, self_mask, cross_mask,
+                 kv_cache=None, cache_index=None):
+        cfg = self.cfg
+        dt = cfg.jnp_dtype
+        eps = cfg.text_ln_eps
+
+        o, new_cache = BertAttention(cfg, name="self_attn")(
+            x, x, self_mask, kv_cache, cache_index)
+        o = nn.Dense(cfg.text_dim, dtype=dt, name="self_output")(o)
+        x = nn.LayerNorm(epsilon=eps, dtype=dt, name="self_ln")(x + o)
+
+        o, _ = BertAttention(cfg, cross=True, name="cross_attn")(
+            x, vision, cross_mask)
+        o = nn.Dense(cfg.text_dim, dtype=dt, name="cross_output")(o)
+        x = nn.LayerNorm(epsilon=eps, dtype=dt, name="cross_ln")(x + o)
+
+        y = nn.Dense(cfg.text_mlp, dtype=dt, name="intermediate")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(cfg.text_dim, dtype=dt, name="output")(y)
+        return nn.LayerNorm(epsilon=eps, dtype=dt, name="output_ln")(x + y), \
+            new_cache
+
+
+class BlipTextDecoder(nn.Module):
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, ids: jax.Array, vision: jax.Array,
+                 position_offset: Optional[jax.Array] = None,
+                 kv_caches=None, cache_index=None):
+        """ids [B, L] → logits [B, L, V].
+
+        With ``kv_caches`` (list of per-layer (k, v) buffers) the call is
+        a single decode step: L == 1, positions offset by
+        ``position_offset``, self-attention over the cache.
+        """
+        cfg = self.cfg
+        dt = cfg.jnp_dtype
+        B, L = ids.shape
+        word = self.param("word_embeddings", nn.initializers.normal(0.02),
+                          (cfg.vocab_size, cfg.text_dim))
+        posm = self.param("position_embeddings",
+                          nn.initializers.normal(0.02),
+                          (cfg.max_pos, cfg.text_dim))
+        x = jnp.take(word, ids, axis=0).astype(dt)
+        if position_offset is None:
+            x = x + posm[None, :L, :].astype(dt)
+        else:
+            pos = jax.lax.dynamic_slice(posm, (position_offset, 0),
+                                        (L, cfg.text_dim))
+            x = x + pos[None].astype(dt)
+        x = nn.LayerNorm(epsilon=cfg.text_ln_eps, dtype=dt,
+                         name="embed_ln")(x)
+
+        if kv_caches is None:
+            cmask = jnp.tril(jnp.ones((L, L), bool))[None, None]
+            new_caches = None
+            for i in range(cfg.text_depth):
+                x, _ = BlipTextLayer(cfg, name=f"layers_{i}")(
+                    x, vision, cmask, None)
+        else:
+            # decode step: attend to cache positions ≤ cache_index
+            T = kv_caches[0][0].shape[1]
+            pos_ids = jnp.arange(T)[None, None, None, :]
+            smask = pos_ids <= cache_index
+            new_caches = []
+            for i in range(cfg.text_depth):
+                x, cache = BlipTextLayer(cfg, name=f"layers_{i}")(
+                    x, vision, smask, None, kv_caches[i], cache_index)
+                new_caches.append(cache)
+
+        # prediction head (HF cls.predictions)
+        y = nn.Dense(cfg.text_dim, dtype=dt, name="transform")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.LayerNorm(epsilon=cfg.text_ln_eps, dtype=dt,
+                         name="transform_ln")(y)
+        logits = nn.Dense(cfg.vocab_size, dtype=dt, name="decoder")(y)
+        return logits.astype(jnp.float32), new_caches
+
+
+class BlipCaptioner(nn.Module):
+    """Full captioning model with jittable greedy decode."""
+
+    cfg: BlipConfig
+
+    def setup(self) -> None:
+        self.vision = BlipVisionEncoder(self.cfg)
+        self.text = BlipTextDecoder(self.cfg)
+
+    def __call__(self, pixels: jax.Array, ids: jax.Array) -> jax.Array:
+        """Teacher-forced logits (used for parity tests / training)."""
+        v = self.vision(pixels)
+        logits, _ = self.text(ids, v)
+        return logits
+
+    def encode_vision(self, pixels: jax.Array) -> jax.Array:
+        return self.vision(pixels)
+
+    def generate(self, pixels: jax.Array,
+                 max_len: Optional[int] = None) -> jax.Array:
+        """Greedy caption ids [B, max_len] via ``lax.scan`` + KV cache.
+
+        Output begins with BOS; positions after EOS are PAD.
+        """
+        cfg = self.cfg
+        max_len = max_len or cfg.max_caption_len
+        v = self.vision(pixels)
+        B = pixels.shape[0]
+        h = cfg.text_heads
+        hd = cfg.text_dim // h
+
+        caches = [(jnp.zeros((B, max_len, h, hd), cfg.jnp_dtype),
+                   jnp.zeros((B, max_len, h, hd), cfg.jnp_dtype))
+                  for _ in range(cfg.text_depth)]
+        tokens0 = jnp.full((B, max_len), cfg.pad_token_id, jnp.int32)
+        tokens0 = tokens0.at[:, 0].set(cfg.bos_token_id)
+
+        def step(carry, t):
+            tokens, caches, done = carry
+            cur = jax.lax.dynamic_slice(tokens, (0, t), (B, 1))
+            logits, caches = self.text(cur, v, position_offset=t,
+                                       kv_caches=caches, cache_index=t)
+            nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, cfg.pad_token_id, nxt)
+            done = done | (nxt == cfg.eos_token_id)
+            write = jnp.minimum(t + 1, max_len - 1)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, nxt[:, None], (0, write))
+            return (tokens, caches, done), None
+
+        done0 = jnp.zeros((B,), bool)
+        (tokens, _, _), _ = jax.lax.scan(
+            step, (tokens0, caches, done0), jnp.arange(max_len - 1))
+        return tokens
+
+
+def init_blip(cfg: Optional[BlipConfig] = None, seed: int = 0):
+    cfg = cfg or blip_base()
+    model = BlipCaptioner(cfg)
+    rng = jax.random.PRNGKey(seed)
+    px = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(rng, px, ids)["params"]
+    return model, params

@@ -115,6 +115,103 @@ def convert_clip_state_dict(sd: Mapping[str, Any], vision_depth: int = 12,
 
 
 # ---------------------------------------------------------------------------
+# BLIP
+# ---------------------------------------------------------------------------
+
+def convert_blip_state_dict(sd: Mapping[str, Any], vision_depth: int = 12,
+                            text_depth: int = 12) -> Dict[str, Any]:
+    """HF ``BlipForConditionalGeneration`` state_dict → params for
+    ``avede_tpu.models.blip.BlipCaptioner``."""
+    p: Dict[str, Any] = {}
+
+    # vision tower
+    _set(p, "vision/patch_embedding/kernel",
+         _np(sd["vision_model.embeddings.patch_embedding.weight"]
+             ).transpose(2, 3, 1, 0))
+    _set(p, "vision/patch_embedding/bias",
+         _np(sd["vision_model.embeddings.patch_embedding.bias"]))
+    _set(p, "vision/class_embedding",
+         _np(sd["vision_model.embeddings.class_embedding"]).reshape(-1))
+    _set(p, "vision/position_embedding",
+         _np(sd["vision_model.embeddings.position_embedding"])[0])
+    for i in range(vision_depth):
+        s = f"vision_model.encoder.layers.{i}"
+        d = f"vision/layers_{i}"
+        _set(p, f"{d}/qkv/kernel", _np(sd[f"{s}.self_attn.qkv.weight"]).T)
+        _set(p, f"{d}/qkv/bias", _np(sd[f"{s}.self_attn.qkv.bias"]))
+        _set(p, f"{d}/projection/kernel",
+             _np(sd[f"{s}.self_attn.projection.weight"]).T)
+        _set(p, f"{d}/projection/bias",
+             _np(sd[f"{s}.self_attn.projection.bias"]))
+        for ln in ("layer_norm1", "layer_norm2"):
+            _set(p, f"{d}/{ln}/scale", _np(sd[f"{s}.{ln}.weight"]))
+            _set(p, f"{d}/{ln}/bias", _np(sd[f"{s}.{ln}.bias"]))
+        for fc in ("fc1", "fc2"):
+            _set(p, f"{d}/{fc}/kernel", _np(sd[f"{s}.mlp.{fc}.weight"]).T)
+            _set(p, f"{d}/{fc}/bias", _np(sd[f"{s}.mlp.{fc}.bias"]))
+    _set(p, "vision/post_layernorm/scale",
+         _np(sd["vision_model.post_layernorm.weight"]))
+    _set(p, "vision/post_layernorm/bias",
+         _np(sd["vision_model.post_layernorm.bias"]))
+
+    # text decoder
+    tb = "text_decoder.bert"
+    _set(p, "text/word_embeddings",
+         _np(sd[f"{tb}.embeddings.word_embeddings.weight"]))
+    _set(p, "text/position_embeddings",
+         _np(sd[f"{tb}.embeddings.position_embeddings.weight"]))
+    _set(p, "text/embed_ln/scale",
+         _np(sd[f"{tb}.embeddings.LayerNorm.weight"]))
+    _set(p, "text/embed_ln/bias", _np(sd[f"{tb}.embeddings.LayerNorm.bias"]))
+    for i in range(text_depth):
+        s = f"{tb}.encoder.layer.{i}"
+        d = f"text/layers_{i}"
+        for src, dst in (("attention", "self_attn"),
+                         ("crossattention", "cross_attn")):
+            for proj in ("query", "key", "value"):
+                _set(p, f"{d}/{dst}/{proj}/kernel",
+                     _np(sd[f"{s}.{src}.self.{proj}.weight"]).T)
+                _set(p, f"{d}/{dst}/{proj}/bias",
+                     _np(sd[f"{s}.{src}.self.{proj}.bias"]))
+        _set(p, f"{d}/self_output/kernel",
+             _np(sd[f"{s}.attention.output.dense.weight"]).T)
+        _set(p, f"{d}/self_output/bias",
+             _np(sd[f"{s}.attention.output.dense.bias"]))
+        _set(p, f"{d}/self_ln/scale",
+             _np(sd[f"{s}.attention.output.LayerNorm.weight"]))
+        _set(p, f"{d}/self_ln/bias",
+             _np(sd[f"{s}.attention.output.LayerNorm.bias"]))
+        _set(p, f"{d}/cross_output/kernel",
+             _np(sd[f"{s}.crossattention.output.dense.weight"]).T)
+        _set(p, f"{d}/cross_output/bias",
+             _np(sd[f"{s}.crossattention.output.dense.bias"]))
+        _set(p, f"{d}/cross_ln/scale",
+             _np(sd[f"{s}.crossattention.output.LayerNorm.weight"]))
+        _set(p, f"{d}/cross_ln/bias",
+             _np(sd[f"{s}.crossattention.output.LayerNorm.bias"]))
+        _set(p, f"{d}/intermediate/kernel",
+             _np(sd[f"{s}.intermediate.dense.weight"]).T)
+        _set(p, f"{d}/intermediate/bias",
+             _np(sd[f"{s}.intermediate.dense.bias"]))
+        _set(p, f"{d}/output/kernel", _np(sd[f"{s}.output.dense.weight"]).T)
+        _set(p, f"{d}/output/bias", _np(sd[f"{s}.output.dense.bias"]))
+        _set(p, f"{d}/output_ln/scale",
+             _np(sd[f"{s}.output.LayerNorm.weight"]))
+        _set(p, f"{d}/output_ln/bias",
+             _np(sd[f"{s}.output.LayerNorm.bias"]))
+    cls = "text_decoder.cls.predictions"
+    _set(p, "text/transform/kernel", _np(sd[f"{cls}.transform.dense.weight"]).T)
+    _set(p, "text/transform/bias", _np(sd[f"{cls}.transform.dense.bias"]))
+    _set(p, "text/transform_ln/scale",
+         _np(sd[f"{cls}.transform.LayerNorm.weight"]))
+    _set(p, "text/transform_ln/bias",
+         _np(sd[f"{cls}.transform.LayerNorm.bias"]))
+    _set(p, "text/decoder/kernel", _np(sd[f"{cls}.decoder.weight"]).T)
+    _set(p, "text/decoder/bias", _np(sd[f"{cls}.decoder.bias"]))
+    return p
+
+
+# ---------------------------------------------------------------------------
 # serialization: flat .npz of slash-joined paths (framework-native format)
 # ---------------------------------------------------------------------------
 

@@ -163,6 +163,62 @@ class HashTokenizer:
         return ids
 
 
+class WordPieceTokenizer:
+    """BERT WordPiece (BLIP text side) — greedy longest-match given a
+    ``vocab.txt``; decode merges ``##`` continuations."""
+
+    def __init__(self, vocab_path: str) -> None:
+        words = Path(vocab_path).read_text("utf-8").splitlines()
+        self.vocab = {w: i for i, w in enumerate(words)}
+        self.inv = words
+        self.unk = self.vocab.get("[UNK]", 100)
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for word in whitespace_clean(basic_clean(text)).lower().split(" "):
+            start = 0
+            while start < len(word):
+                end = len(word)
+                cur = None
+                while start < end:
+                    piece = word[start:end]
+                    if start > 0:
+                        piece = "##" + piece
+                    if piece in self.vocab:
+                        cur = self.vocab[piece]
+                        break
+                    end -= 1
+                if cur is None:
+                    ids.append(self.unk)
+                    break
+                ids.append(cur)
+                start = end
+        return ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        out: List[str] = []
+        for i in ids:
+            if i >= len(self.inv):
+                continue
+            tok = self.inv[i]
+            if tok.startswith("[") and tok.endswith("]"):
+                continue
+            if tok.startswith("##") and out:
+                out[-1] = out[-1] + tok[2:]
+            else:
+                out.append(tok)
+        return " ".join(out)
+
+
+class HashCaptionDecoder:
+    """Deterministic fallback decode for generated caption ids when no
+    WordPiece vocab is shipped: each id becomes a stable pseudo-word.
+    Keeps the caption→CLIP-text similarity path exercisable end-to-end."""
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return " ".join(f"tok{int(i)}" for i in ids if int(i) > 3)
+
+
 class Tokenizer:
     """Front-end used by the framework: pads/frames to [N, context_len]."""
 

@@ -67,6 +67,19 @@ def clip_preprocess(frames: jax.Array, size: int = 224,
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
+def blip_preprocess(frames: jax.Array, size: int = 384) -> jax.Array:
+    """uint8 [N, H, W, 3] → float32 [N, size, size, 3], BLIP-normalized.
+
+    HF ``BlipImageProcessor`` semantics: straight resize to size×size
+    (NO center crop, aspect not preserved), rescale, normalize with the
+    CLIP constants.
+    """
+    x = frames.astype(jnp.float32) / 255.0
+    x = resize_frames(x, size, "bicubic")
+    return (x - CLIP_MEAN) / CLIP_STD
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
 def imagenet_preprocess(frames: jax.Array, size: int = 224) -> jax.Array:
     x = central_square_crop(frames).astype(jnp.float32) / 255.0
     x = resize_frames(x, size, "bicubic")

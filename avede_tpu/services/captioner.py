@@ -1,0 +1,97 @@
+"""Caption service: batched BLIP captioning + functional text similarity.
+
+Role of the reference's ``BLIPModel`` wrapper
+(``/root/reference/src/models/blip_model.py``) — but with two fixes by
+design (SURVEY.md §2.6.9):
+
+- the reference captions ONE image per ``generate`` call; here whole
+  candidate batches decode together in a single jitted scan;
+- the reference's ``compute_text_similarity`` always returns 0.0 (its
+  sentence model is disabled), silently degenerating the phase-2 rerank;
+  here caption↔query similarity is real — both texts go through the
+  shared CLIP text encoder.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.blip import BlipCaptioner, BlipConfig, blip_base, init_blip
+from ..models.convert import load_params
+from ..models.tokenizer import HashCaptionDecoder, WordPieceTokenizer
+from ..ops.preprocess import blip_preprocess
+from ..parallel.embed import ClipEngine
+from ..utils.config import settings
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class CaptionService:
+    def __init__(self, engine: ClipEngine,
+                 cfg: Optional[BlipConfig] = None,
+                 params: Optional[dict] = None,
+                 weights_path: Optional[str] = None,
+                 vocab_path: Optional[str] = None) -> None:
+        self.engine = engine
+        self.cfg = cfg or blip_base()
+        weights_path = weights_path or settings.BLIP_WEIGHTS
+        if params is not None:
+            self.model = BlipCaptioner(self.cfg)
+            self.params = params
+        elif weights_path and Path(weights_path).exists():
+            self.model = BlipCaptioner(self.cfg)
+            self.params = load_params(weights_path)
+            logger.info("BLIP weights loaded from %s", weights_path)
+        else:
+            self.model, self.params = init_blip(self.cfg, seed=0)
+            logger.info("BLIP randomly initialised (no checkpoint)")
+        if vocab_path and Path(vocab_path).exists():
+            self.decoder = WordPieceTokenizer(vocab_path)
+        else:
+            self.decoder = HashCaptionDecoder()
+        self._gen_fns = {}
+
+    def _gen_fn(self, n: int):
+        if n not in self._gen_fns:
+            model, size = self.model, self.cfg.image_size
+
+            @jax.jit
+            def run(params, frames_u8):
+                px = blip_preprocess(frames_u8, size=size)
+                return model.apply({"params": params}, px,
+                                   method=model.generate)
+
+            self._gen_fns[n] = run
+        return self._gen_fns[n]
+
+    def caption_frames(self, frames: np.ndarray) -> List[str]:
+        """uint8 [N, H, W, 3] → N caption strings (whole batch decodes in
+        one scan program)."""
+        if len(frames) == 0:
+            return []
+        ids = np.asarray(self._gen_fn(frames.shape[1:])(
+            self.params, jnp.asarray(frames)))
+        caps = []
+        for row in ids:
+            toks = []
+            for t in row.tolist()[1:]:
+                if t == self.cfg.eos_token_id or t == self.cfg.pad_token_id:
+                    break
+                toks.append(t)
+            caps.append(self.decoder.decode(toks) or "image content")
+        return caps
+
+    def caption_query_similarity(self, captions: List[str],
+                                 query: str) -> np.ndarray:
+        """Cosine between caption and query in CLIP text space → [N]."""
+        if not captions:
+            return np.zeros((0,), np.float32)
+        embs = self.engine.embed_texts(captions + [query])
+        cap_e, q_e = embs[:-1], embs[-1]
+        return (cap_e @ q_e).astype(np.float32)
