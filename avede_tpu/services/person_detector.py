@@ -1,0 +1,437 @@
+"""Person re-identification: detector, features, and whole-video search.
+
+Role models: reference ``EnhancedPersonDetector``
+(``/root/reference/src/services/enhanced_person_detector.py``) and
+``EnhancedVideoProcessor`` (``enhanced_video_processor.py``): lighting
+normalization (hist-eq/CLAHE/gamma/white-balance), face + body + visual
+feature fusion ``0.6·face + 0.3·body + 0.1·visual``, batched video scan
+with temporal-consistency filtering, annotated frames, effectiveness
+report, JSON/CSV export.
+
+Environment-driven redesign: the reference's face/pose stacks (dlib,
+MediaPipe) don't exist in this image. Faces use cv2's FaceDetectorYN
+when an ONNX model file is configured (``settings``-gated) and degrade
+to a geometric head-region estimate inside the person box; the feature
+itself is the reference's OWN fallback (64×64 gray crop vector,
+``enhanced_person_detector.py:226-357``). Body features are
+clothing-invariant geometry + vertical mass profile. Visual features
+are CLIP crop embeddings from the shared engine.
+
+TPU-first: person detection runs as BATCHED YOLO device calls (the
+reference spins a 4-thread pool of per-frame model calls,
+``enhanced_video_processor.py:291-315``), and all crops in a batch
+embed through CLIP in one forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.video_reader import VideoReader, probe_video
+from ..parallel.embed import ClipEngine
+from ..utils.config import settings
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+FACE_W, BODY_W, VISUAL_W = 0.6, 0.3, 0.1
+
+
+@dataclasses.dataclass
+class PersonMatch:
+    """Reference ``PersonMatch`` dataclass
+    (``enhanced_video_processor.py:20-30``)."""
+
+    timestamp: float
+    frame_index: int
+    bbox: List[float]
+    similarity: float
+    face_similarity: float
+    body_similarity: float
+    visual_similarity: float
+    detection_method: str
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+
+# ---------------------------------------------------------------------------
+# lighting normalization (reference :162-224)
+# ---------------------------------------------------------------------------
+
+def normalize_lighting(image: np.ndarray) -> np.ndarray:
+    import cv2
+
+    # white balance (gray-world)
+    img = image.astype(np.float32)
+    means = img.reshape(-1, 3).mean(0)
+    img = np.clip(img * (means.mean() / np.maximum(means, 1e-3)), 0, 255)
+    img = img.astype(np.uint8)
+    # CLAHE on L
+    lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+    clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+    lab[..., 0] = clahe.apply(lab[..., 0])
+    img = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    # auto gamma toward mid-gray
+    mean = max(img.mean() / 255.0, 1e-3)
+    gamma = np.log(0.5) / np.log(mean)
+    gamma = float(np.clip(gamma, 0.5, 2.0))
+    lut = (np.power(np.arange(256) / 255.0, gamma) * 255).astype(np.uint8)
+    return lut[img]
+
+
+# ---------------------------------------------------------------------------
+# features
+# ---------------------------------------------------------------------------
+
+def face_region(bbox: List[float]) -> List[float]:
+    """Head-region estimate inside a person box (reference extrapolates
+    the inverse — body from face at 7× face height, ``:552-595``)."""
+    x0, y0, x1, y1 = bbox
+    h = y1 - y0
+    w = x1 - x0
+    fh = h / 7.0
+    cx = (x0 + x1) / 2
+    return [cx - w * 0.25, y0, cx + w * 0.25, y0 + fh * 1.4]
+
+
+def crop(frame: np.ndarray, bbox: Sequence[float]) -> np.ndarray:
+    h, w = frame.shape[:2]
+    x0 = int(np.clip(bbox[0], 0, w - 1))
+    y0 = int(np.clip(bbox[1], 0, h - 1))
+    x1 = int(np.clip(bbox[2], x0 + 1, w))
+    y1 = int(np.clip(bbox[3], y0 + 1, h))
+    return frame[y0:y1, x0:x1]
+
+
+def face_feature(face_crop: np.ndarray) -> Optional[np.ndarray]:
+    """64×64 gray vector, unit-norm (the reference's MediaPipe-fallback
+    feature, ``enhanced_person_detector.py:226-357``)."""
+    import cv2
+
+    if face_crop.size == 0 or min(face_crop.shape[:2]) < 4:
+        return None
+    g = cv2.cvtColor(face_crop, cv2.COLOR_RGB2GRAY)
+    g = cv2.resize(g, (64, 64)).astype(np.float32).reshape(-1)
+    g = g - g.mean()
+    n = np.linalg.norm(g)
+    return g / n if n > 0 else None
+
+
+def body_feature(person_crop: np.ndarray, bbox: Sequence[float]
+                 ) -> np.ndarray:
+    """Clothing-invariant-ish geometry: aspect ratio, upper/lower mass
+    split, vertical intensity profile (role of the reference's pose
+    body-ratios, ``:359-467``)."""
+    import cv2
+
+    x0, y0, x1, y1 = bbox
+    aspect = (y1 - y0) / max(x1 - x0, 1e-3)
+    if person_crop.size == 0:
+        return np.zeros(18, np.float32)
+    g = cv2.cvtColor(person_crop, cv2.COLOR_RGB2GRAY).astype(np.float32)
+    h = g.shape[0]
+    upper = g[: h // 2].mean() / 255.0
+    lower = g[h // 2:].mean() / 255.0
+    profile = cv2.resize(g, (1, 15)).reshape(-1) / 255.0
+    feat = np.concatenate([[min(aspect / 4.0, 1.0), upper, lower], profile])
+    return feat.astype(np.float32)
+
+
+def _cos(a: Optional[np.ndarray], b: Optional[np.ndarray]) -> Optional[float]:
+    if a is None or b is None:
+        return None
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na == 0 or nb == 0:
+        return None
+    return float(np.dot(a, b) / (na * nb))
+
+
+# ---------------------------------------------------------------------------
+# detector
+# ---------------------------------------------------------------------------
+
+class PersonDetector:
+    """Person boxes + per-person features (face/body/visual)."""
+
+    def __init__(self, engine: ClipEngine, yolo=None) -> None:
+        self.engine = engine
+        self._yolo = yolo
+        self._yn = self._load_face_yn()
+
+    @property
+    def yolo(self):
+        if self._yolo is None:
+            from .detector import YoloService
+
+            self._yolo = YoloService()
+        return self._yolo
+
+    @staticmethod
+    def _load_face_yn():
+        """cv2.FaceDetectorYN gated on a configured ONNX model file."""
+        import cv2
+
+        path = getattr(settings, "FACE_MODEL_PATH", None)
+        if path and Path(path).exists() and hasattr(cv2, "FaceDetectorYN"):
+            try:
+                return cv2.FaceDetectorYN.create(path, "", (320, 320))
+            except Exception:  # noqa: BLE001
+                logger.warning("FaceDetectorYN load failed; geometric "
+                               "face fallback in use")
+        return None
+
+    def detect_persons(self, frames: np.ndarray,
+                       conf_threshold: float = 0.3
+                       ) -> List[List[Dict]]:
+        """Batched person detection → per-frame [{bbox, confidence,
+        method}]."""
+        dets = self.yolo.detect(frames, conf_threshold)
+        out = []
+        for frame_dets in dets:
+            persons = [d for d in frame_dets if d["class_name"] == "person"]
+            out.append([{"bbox": d["bbox"], "confidence": d["confidence"],
+                         "method": "yolo"} for d in persons])
+        return out
+
+    def find_faces(self, frame: np.ndarray,
+                   person_bbox: List[float]) -> List[float]:
+        """Face bbox: real detector when configured, else geometric."""
+        import cv2
+
+        if self._yn is not None:
+            region = crop(frame, person_bbox)
+            if region.size:
+                self._yn.setInputSize((region.shape[1], region.shape[0]))
+                _, faces = self._yn.detect(
+                    cv2.cvtColor(region, cv2.COLOR_RGB2BGR))
+                if faces is not None and len(faces):
+                    fx, fy, fw, fh = faces[0][:4]
+                    return [person_bbox[0] + fx, person_bbox[1] + fy,
+                            person_bbox[0] + fx + fw,
+                            person_bbox[1] + fy + fh]
+        return face_region(person_bbox)
+
+    def extract_features(self, frame: np.ndarray,
+                         bboxes: List[List[float]]) -> List[Dict]:
+        from .detector import extract_object_embeddings
+
+        norm = normalize_lighting(frame)
+        visual = extract_object_embeddings(self.engine, norm, bboxes) \
+            if bboxes else np.zeros((0, self.engine.cfg.projection_dim))
+        out = []
+        for bbox, vis in zip(bboxes, visual):
+            fb = self.find_faces(norm, bbox)
+            out.append({
+                "bbox": bbox,
+                "face": face_feature(crop(norm, fb)),
+                "body": body_feature(crop(norm, bbox), bbox),
+                "visual": vis,
+            })
+        return out
+
+    def similarity(self, ref: Dict, cand: Dict) -> Dict[str, float]:
+        """Weighted 0.6 face + 0.3 body + 0.1 visual; missing modalities
+        renormalize (reference ``:738-822``)."""
+        sims = {"face": _cos(ref.get("face"), cand.get("face")),
+                "body": _cos(ref.get("body"), cand.get("body")),
+                "visual": _cos(ref.get("visual"), cand.get("visual"))}
+        weights = {"face": FACE_W, "body": BODY_W, "visual": VISUAL_W}
+        total_w = sum(weights[k] for k, v in sims.items() if v is not None)
+        if total_w == 0:
+            return {"similarity": 0.0, **{f"{k}_similarity": 0.0
+                                          for k in sims}}
+        combined = sum(weights[k] * max(v, 0.0)
+                       for k, v in sims.items() if v is not None) / total_w
+        return {"similarity": float(combined),
+                **{f"{k}_similarity": float(max(v, 0.0))
+                   if v is not None else 0.0 for k, v in sims.items()}}
+
+    def process_reference(self, image: np.ndarray) -> Dict:
+        """Best person detection in the reference image → its features;
+        falls back to the whole image as the person region."""
+        dets = self.detect_persons(image[None], conf_threshold=0.2)[0]
+        if dets:
+            best = max(dets, key=lambda d: d["confidence"])
+            bbox = best["bbox"]
+        else:
+            h, w = image.shape[:2]
+            bbox = [0.0, 0.0, float(w), float(h)]
+        return self.extract_features(image, [bbox])[0]
+
+
+# ---------------------------------------------------------------------------
+# whole-video search (reference EnhancedVideoProcessor)
+# ---------------------------------------------------------------------------
+
+class PersonSearchService:
+    def __init__(self, engine: ClipEngine,
+                 detector: Optional[PersonDetector] = None,
+                 reader: Optional[VideoReader] = None) -> None:
+        self.engine = engine
+        self.detector = detector or PersonDetector(engine)
+        self.reader = reader or VideoReader()
+        self.stop_event = threading.Event()
+
+    def process_video_for_person(
+            self, video_path: str, reference_image: np.ndarray,
+            similarity_threshold: Optional[float] = None,
+            frame_skip: Optional[int] = None,
+            temporal_consistency: bool = True,
+            save_annotated_frames: bool = False,
+            progress_callback: Optional[Callable[[float], None]] = None,
+            batch_size: Optional[int] = None,
+            output_dir: Optional[str] = None) -> Dict:
+        t0 = time.time()
+        thr = (settings.PERSON_SIMILARITY_THRESHOLD
+               if similarity_threshold is None else similarity_threshold)
+        skip = frame_skip or settings.PERSON_FRAME_SKIP
+        batch = batch_size or settings.PERSON_BATCH_SIZE
+        self.stop_event.clear()
+
+        ref = self.detector.process_reference(reference_image)
+        frames, timestamps = self.reader.extract_frames(
+            video_path, sample_rate=skip)
+
+        matches: List[PersonMatch] = []
+        frames_with_persons = 0
+        for lo in range(0, len(frames), batch):
+            if self.stop_event.is_set():
+                logger.info("Person search stopped by request")
+                break
+            fb = frames[lo: lo + batch]
+            dets_per_frame = self.detector.detect_persons(fb)
+            for i, dets in enumerate(dets_per_frame):
+                if not dets:
+                    continue
+                frames_with_persons += 1
+                feats = self.detector.extract_features(
+                    fb[i], [d["bbox"] for d in dets])
+                for d, f in zip(dets, feats):
+                    sims = self.detector.similarity(ref, f)
+                    if sims["similarity"] >= thr:
+                        matches.append(PersonMatch(
+                            timestamp=float(timestamps[lo + i]),
+                            frame_index=lo + i,
+                            bbox=[float(v) for v in d["bbox"]],
+                            similarity=sims["similarity"],
+                            face_similarity=sims["face_similarity"],
+                            body_similarity=sims["body_similarity"],
+                            visual_similarity=sims["visual_similarity"],
+                            detection_method=d["method"]))
+            if progress_callback:
+                progress_callback(min((lo + batch) / max(len(frames), 1),
+                                      1.0))
+
+        if temporal_consistency and len(matches) > 2:
+            matches = self._temporal_filter(matches)
+
+        annotated: List[str] = []
+        if save_annotated_frames and matches:
+            annotated = self._save_annotated(frames, matches, output_dir)
+
+        report = self._report(matches, len(frames), frames_with_persons,
+                              time.time() - t0, thr)
+        return {"matches": [m.to_dict() for m in matches],
+                "total_found": len(matches),
+                "results": [m.to_dict() for m in matches],
+                "summary": report,
+                "annotated_frames": annotated}
+
+    def stop(self) -> None:
+        self.stop_event.set()
+
+    @staticmethod
+    def _temporal_filter(matches: List[PersonMatch]) -> List[PersonMatch]:
+        """Keep matches ≥ ``PERSON_TEMPORAL_KEEP_RATIO`` of the windowed
+        mean similarity (reference ``:364-397``)."""
+        window = settings.PERSON_TEMPORAL_WINDOW
+        ratio = settings.PERSON_TEMPORAL_KEEP_RATIO
+        matches = sorted(matches, key=lambda m: m.timestamp)
+        sims = np.asarray([m.similarity for m in matches])
+        kept = []
+        for i, m in enumerate(matches):
+            lo = max(i - window // 2, 0)
+            hi = min(i + window // 2 + 1, len(matches))
+            if m.similarity >= ratio * sims[lo:hi].mean():
+                kept.append(m)
+        return kept
+
+    @staticmethod
+    def _save_annotated(frames: np.ndarray, matches: List[PersonMatch],
+                        output_dir: Optional[str]) -> List[str]:
+        import cv2
+
+        out_dir = Path(output_dir or settings.FRAME_DIR) / "annotated"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        paths = []
+        for m in matches[:50]:
+            frame = frames[m.frame_index].copy()
+            x0, y0, x1, y1 = [int(v) for v in m.bbox]
+            cv2.rectangle(frame, (x0, y0), (x1, y1), (0, 255, 0), 2)
+            cv2.putText(frame, f"{m.similarity:.2f}", (x0, max(y0 - 5, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+            p = out_dir / f"match_{m.frame_index:05d}.jpg"
+            cv2.imwrite(str(p), cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            paths.append(str(p))
+        return paths
+
+    @staticmethod
+    def _report(matches: List[PersonMatch], n_frames: int,
+                frames_with_persons: int, seconds: float,
+                threshold: float) -> Dict:
+        """Effectiveness report (reference ``:445-546``)."""
+        sims = [m.similarity for m in matches]
+        segments = []
+        if matches:
+            ms = sorted(matches, key=lambda m: m.timestamp)
+            seg_start = prev = ms[0].timestamp
+            for m in ms[1:]:
+                if m.timestamp - prev > 3.0:
+                    segments.append([seg_start, prev])
+                    seg_start = m.timestamp
+                prev = m.timestamp
+            segments.append([seg_start, prev])
+        return {
+            "frames_processed": n_frames,
+            "frames_with_persons": frames_with_persons,
+            "matches_found": len(matches),
+            "similarity_threshold": threshold,
+            "best_similarity": max(sims, default=0.0),
+            "mean_similarity": float(np.mean(sims)) if sims else 0.0,
+            "presence_segments": segments,
+            "processing_seconds": seconds,
+            "fps": n_frames / seconds if seconds > 0 else 0.0,
+        }
+
+    # ------------------------------------------------------------------
+    def export_results(self, results: Dict, path: str,
+                       fmt: str = "json") -> str:
+        """JSON/CSV export (reference ``:548-590``)."""
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        if fmt == "json":
+            p.write_text(json.dumps(results, indent=2))
+        elif fmt == "csv":
+            import csv
+
+            with p.open("w", newline="") as f:
+                writer = csv.writer(f)
+                writer.writerow(["timestamp", "frame_index", "similarity",
+                                 "face_similarity", "body_similarity",
+                                 "visual_similarity", "bbox"])
+                for m in results.get("matches", []):
+                    writer.writerow([m["timestamp"], m["frame_index"],
+                                     m["similarity"], m["face_similarity"],
+                                     m["body_similarity"],
+                                     m["visual_similarity"], m["bbox"]])
+        else:
+            raise ValueError(f"unknown export format {fmt}")
+        return str(p)

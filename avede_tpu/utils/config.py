@@ -59,6 +59,7 @@ class Settings(BaseModel):
     OWLVIT_WEIGHTS: Optional[str] = None
     FEATURE_EXTRACTOR_WEIGHTS: Optional[str] = None
     TOKENIZER_VOCAB: Optional[str] = None   # path to CLIP BPE merges file
+    FACE_MODEL_PATH: Optional[str] = None   # cv2 FaceDetectorYN onnx (optional)
 
     # --- Inference knobs (reference config.py:37-40) ---
     BATCH_SIZE: int = 32
