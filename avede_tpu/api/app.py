@@ -95,6 +95,12 @@ def _resolve_or_404(state: ApiState, video_id: str) -> Optional[str]:
 # handlers
 # ---------------------------------------------------------------------------
 
+async def builtin_ui(request: web.Request) -> web.Response:
+    from ..web.builtin import INDEX_HTML
+
+    return web.Response(text=INDEX_HTML, content_type="text/html")
+
+
 async def root(request: web.Request) -> web.Response:
     return _json({
         "message": "Video Event Detection API (TPU-native)",
@@ -513,6 +519,7 @@ def create_app(processor=None) -> web.Application:
     app["state"] = ApiState(processor)
     app.add_routes([
         web.get("/", root),
+        web.get("/ui", builtin_ui),
         web.get("/api/health", health),
         web.get("/api/metrics", metrics),
         web.post("/api/upload", upload_video),

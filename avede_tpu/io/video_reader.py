@@ -118,10 +118,14 @@ class VideoReader:
         """
         import cv2
 
+        from ..utils.memory import decode_budget
+
         meta = probe_video(path)
-        idxs = sample_indices(meta.total_frames,
-                              sample_rate or self.sample_rate,
-                              max_frames or self.max_frames)
+        rate = sample_rate or self.sample_rate
+        cap = max_frames or self.max_frames
+        tw0, th0 = _fit_size(meta.width, meta.height, self.max_side)
+        cap, rate = decode_budget(cap, (th0, tw0), rate)
+        idxs = sample_indices(meta.total_frames, rate, cap)
         if not idxs:
             raise VideoDecodeError(
                 f"no sampleable frames in {path} (total={meta.total_frames})")

@@ -79,14 +79,24 @@ class CLIPVisionEncoder(nn.Module):
     cfg: CLIPConfig
 
     @nn.compact
-    def __call__(self, pixels: jax.Array) -> jax.Array:
+    def __call__(self, pixels: Optional[jax.Array] = None,
+                 patch_tokens: Optional[jax.Array] = None) -> jax.Array:
+        """Either ``pixels`` [N, S, S, 3] (normalized floats; conv patch
+        embedding runs here) or ``patch_tokens`` [N, P, D] (already
+        embedded by the fused Pallas kernel — see
+        ``ops/pallas_kernels.fused_patch_embed``)."""
         cfg = self.cfg
         dt = cfg.jnp_dtype
-        x = nn.Conv(cfg.vision_dim, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
-                    dtype=dt, name="patch_embedding")(pixels.astype(dt))
-        n = x.shape[0]
-        x = x.reshape(n, cfg.num_patches, cfg.vision_dim)
+        if patch_tokens is not None:
+            x = patch_tokens.astype(dt)
+            n = x.shape[0]
+        else:
+            x = nn.Conv(cfg.vision_dim, (cfg.patch_size, cfg.patch_size),
+                        strides=(cfg.patch_size, cfg.patch_size),
+                        use_bias=False, dtype=dt,
+                        name="patch_embedding")(pixels.astype(dt))
+            n = x.shape[0]
+            x = x.reshape(n, cfg.num_patches, cfg.vision_dim)
         cls = self.param("class_embedding", nn.initializers.normal(0.02),
                          (cfg.vision_dim,))
         x = jnp.concatenate(
@@ -161,6 +171,13 @@ class CLIPModel(nn.Module):
 
     def encode_image(self, pixels: jax.Array) -> jax.Array:
         emb = self.vision(pixels)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    def encode_image_from_patches(self, patch_tokens: jax.Array
+                                  ) -> jax.Array:
+        """Continue the vision tower from pre-computed patch embeddings
+        (the fused Pallas patchify+project kernel's output)."""
+        emb = self.vision(patch_tokens=patch_tokens)
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
     def encode_text(self, ids: jax.Array) -> jax.Array:

@@ -70,16 +70,41 @@ class ClipEngine:
         return f"{self._tag}|{self.cfg.image_size}px"
 
     # ------------------------------------------------------------------
+    def _use_pallas(self) -> bool:
+        if not settings.USE_PALLAS:
+            return False
+        try:
+            return jax.devices()[0].platform not in ("cpu", "gpu")
+        except Exception:  # noqa: BLE001
+            return False
+
     def _image_fn(self, shape: Tuple[int, int, int]):
         if shape not in self._image_fns:
             model = self.model
             size = self.cfg.image_size
+            use_pallas = self._use_pallas()
 
             @functools.partial(
                 jax.jit,
                 in_shardings=(self.mesh.replicated, self.mesh.data_sharded),
                 out_shardings=self.mesh.data_sharded)
             def run(params, frames_u8):
+                if use_pallas:
+                    # fused path: resize keeps 0..255 range; /255 +
+                    # normalize + patchify + project fuse into one
+                    # Pallas kernel (ops/pallas_kernels.py)
+                    from ..ops.pallas_kernels import fused_patch_embed
+                    from ..ops.preprocess import (central_square_crop,
+                                                  resize_frames)
+
+                    x = central_square_crop(frames_u8).astype(jnp.float32)
+                    x = resize_frames(x, size, "bicubic")
+                    k = params["vision"]["patch_embedding"]["kernel"]
+                    tokens = fused_patch_embed(
+                        x, k, jnp.zeros((k.shape[-1],), jnp.float32))
+                    return model.apply(
+                        {"params": params}, tokens,
+                        method=model.encode_image_from_patches)
                 px = clip_preprocess(frames_u8, size=size)
                 return model.apply({"params": params}, px,
                                    method=model.encode_image)

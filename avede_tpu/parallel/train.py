@@ -118,6 +118,69 @@ def make_train_step(model: CLIPModel, mesh: MeshContext):
     )
 
 
+def make_grounding_train_step(model, mesh: MeshContext):
+    """SPMD train step for the temporal-grounding head
+    (``models/univtg.py``): batch shards over ``data``; the head is
+    small enough to replicate."""
+    from ..models.univtg import grounding_loss
+
+    data_sharded = NamedSharding(mesh.mesh, P(DATA_AXIS))
+
+    def step(state: TrainState, frame_emb, text_emb, sal_labels,
+             off_labels, valid):
+        def loss_fn(params):
+            sal, off = model.apply({"params": params}, frame_emb,
+                                   text_emb, valid)
+            return grounding_loss(sal, off, sal_labels, off_labels, valid)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), {"loss": loss}
+
+    return jax.jit(step, in_shardings=(None,) + (data_sharded,) * 5,
+                   donate_argnums=(0,))
+
+
+def create_grounding_train_state(cfg=None, learning_rate: float = 1e-3,
+                                 seed: int = 0):
+    from ..models.univtg import init_grounding
+
+    model, params = init_grounding(cfg, seed=seed)
+    tx = optax.adamw(learning_rate, weight_decay=0.01)
+    return model, TrainState.create(apply_fn=model.apply, params=params,
+                                    tx=tx)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume (orbax)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(state: TrainState, path: str, step: int) -> str:
+    """Orbax checkpoint of a train state (checkpoint/resume subsystem —
+    the reference has none; SURVEY.md §5)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(path) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave({
+            "params": state.params, "opt_state": state.opt_state,
+            "step": state.step}))
+        mgr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(state: TrainState, path: str,
+                       step: Optional[int] = None) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(path) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        restored = mgr.restore(step, args=ocp.args.StandardRestore({
+            "params": state.params, "opt_state": state.opt_state,
+            "step": state.step}))
+    return state.replace(params=restored["params"],
+                         opt_state=restored["opt_state"],
+                         step=restored["step"])
+
+
 def train_demo(n_steps: int = 2, batch: int = 8,
                mesh: Optional[MeshContext] = None,
                cfg: Optional[CLIPConfig] = None) -> Dict[str, float]:

@@ -145,7 +145,11 @@ class Settings(BaseModel):
         default_factory=lambda: [32, 64, 128, 256, 512, 1024]
     )
     EMBED_BATCH_PER_DEVICE: int = 128
-    USE_PALLAS: bool = True                  # pallas kernels on TPU; jnp fallback elsewhere
+    # Pallas patch-embed path: measured on TPU v5e (256×288×512 uint8,
+    # ViT-B/32): XLA conv path 4617 fps vs Pallas matmul path 4257 fps —
+    # XLA's conv+normalize fusion already wins, so the default is off.
+    # The kernel (ops/pallas_kernels.py) stays available and tested.
+    USE_PALLAS: bool = False
     DECODE_MAX_TOKENS: int = 50              # BLIP caption max length (reference blip_model.py:344)
 
     # --- Embedding cache (new artifact; format in io/embedding_cache.py) ---

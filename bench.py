@@ -17,6 +17,7 @@ real TPU v5e chip (axon).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -33,7 +34,7 @@ def main() -> None:
     from avede_tpu.ops.preprocess import clip_preprocess
 
     dev = jax.devices()[0]
-    cfg = vit_b32()
+    cfg = dataclasses.replace(vit_b32(), dtype="bfloat16")
     model, params = init_clip(cfg, seed=0)
 
     batch = 256
@@ -54,14 +55,19 @@ def main() -> None:
 
     # warmup: compile AND exercise the device→host transfer path (through
     # the axon tunnel the first host materialization is slow)
-    for _ in range(2):
+    for _ in range(3):
         np.asarray(scan(params, frames_dev, query))
 
+    # best-of-3 trials: the remote-tunnel round-trip adds jitter that a
+    # single trial can't average out
     reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        scores = np.asarray(scan(params, frames_dev, query))
-    dt = (time.perf_counter() - t0) / reps
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            scores = np.asarray(scan(params, frames_dev, query))
+        best_dt = min(best_dt, (time.perf_counter() - t0) / reps)
+    dt = best_dt
     fps = batch / dt
 
     print(json.dumps({
@@ -73,7 +79,7 @@ def main() -> None:
             "batch": batch,
             "seconds_per_batch": round(dt, 4),
             "device": str(dev),
-            "model": "ViT-B/32",
+            "model": "ViT-B/32 bf16",
             "input": "uint8 512x288 (decoded 1080p)",
         },
     }))
