@@ -64,6 +64,7 @@ class ClipEngine:
         self.params = jax.device_put(self.params, self.mesh.replicated)
         self._image_fns: Dict[Tuple[int, int, int], object] = {}
         self._text_fn = None
+        self._px_fn = None
 
     @property
     def model_tag(self) -> str:
@@ -169,16 +170,33 @@ class ClipEngine:
 
     def embed_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
         """Convenience for reference images of heterogeneous sizes: each
-        is preprocessed independently, then batched through the encoder."""
+        is preprocessed independently (host-side resize to the model
+        square), then batched through one jitted encoder call. The
+        jitted fn is cached per batch-size bucket — a fresh ``jax.jit``
+        per call would recompile every time."""
         if len(images) == 0:
             return np.zeros((0, self.cfg.projection_dim), np.float32)
         size = self.cfg.image_size
         batch = np.stack([
-            np.asarray(clip_preprocess(img[None].astype(np.uint8), size=size))[0]
+            np.asarray(clip_preprocess(
+                np.ascontiguousarray(img)[None].astype(np.uint8),
+                size=size))[0]
             for img in images])
-        fn = jax.jit(lambda p, x: self.model.apply(
-            {"params": p}, x, method=self.model.encode_image))
-        return np.asarray(fn(self.params, jnp.asarray(batch)), np.float32)
+        n = len(batch)
+        bucket = 1 if n == 1 else pick_bucket(n, [4, 16, 64, 256])
+        padded = np.zeros((bucket, size, size, 3), np.float32)
+        padded[:n] = batch
+        if self._px_fn is None:
+            model = self.model
+
+            @jax.jit
+            def run(params, px):
+                return model.apply({"params": params}, px,
+                                   method=model.encode_image)
+
+            self._px_fn = run
+        out = self._px_fn(self.params, jnp.asarray(padded))
+        return np.asarray(out[:n], np.float32)
 
 
 _DEFAULT: Optional[ClipEngine] = None

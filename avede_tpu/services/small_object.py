@@ -146,11 +146,14 @@ class SmallObjectService:
                     stats["proposals_used"] += 1
                 results.append(d)
 
+        # rank first so background segmentation (GrabCut — host-bound)
+        # only touches the candidates that can surface
+        results.sort(key=lambda d: d["confidence"], reverse=True)
+        results = results[: top_k * 2]
         if enable_background_independence and results:
             results = self._add_background_features(frames, results,
                                                     queries, stats)
-
-        results.sort(key=lambda d: d["confidence"], reverse=True)
+            results.sort(key=lambda d: d["confidence"], reverse=True)
         results = results[:top_k]
         small = sum(1 for d in results
                     if d.get("size_category") in ("tiny", "small"))
