@@ -40,9 +40,9 @@ class Phase2Rerank:
     @property
     def captioner(self):
         if self._captioner is None:
-            from ..services.captioner import CaptionService
+            from ..services.captioner import make_reranker
 
-            self._captioner = CaptionService(self.phase1.engine)
+            self._captioner = make_reranker(self.phase1.engine)
         return self._captioner
 
     def process_video(self, video_path: str, query: str,
@@ -60,11 +60,12 @@ class Phase2Rerank:
         frames = np.stack([
             self.phase1.reader.read_frame_at(video_path, c["timestamp"])
             for c in candidates])
-        captions = self.captioner.caption_frames(frames)
-        cap_sim = self.captioner.caption_query_similarity(captions, query)
+        # reranker: BLIP captions + CLIP text similarity, or BLIP-2
+        # Q-Former ITC scores (services/captioner.make_reranker)
+        cap_sim, aux = self.captioner.rerank_scores(frames, query)
 
-        for c, cap, s in zip(candidates, captions, cap_sim):
-            c["caption"] = cap
+        for c, extra, s in zip(candidates, aux, cap_sim):
+            c.update(extra)
             c["caption_similarity"] = float(s)
             c["clip_score"] = c["confidence"]
             c["confidence"] = float(CLIP_WEIGHT * c["clip_score"]

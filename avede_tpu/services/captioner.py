@@ -95,3 +95,75 @@ class CaptionService:
         embs = self.engine.embed_texts(captions + [query])
         cap_e, q_e = embs[:-1], embs[-1]
         return (cap_e @ q_e).astype(np.float32)
+
+    # Phase-2 reranker interface -----------------------------------------
+    def rerank_scores(self, frames: np.ndarray, query: str
+                      ) -> "tuple[np.ndarray, List[dict]]":
+        caps = self.caption_frames(frames)
+        sims = self.caption_query_similarity(caps, query)
+        return sims, [{"caption": c} for c in caps]
+
+
+class Blip2RerankService:
+    """BLIP-2 Q-Former ITC reranker (BASELINE config
+    "phase2_reranker: BLIP-2 Q-Former rerank"). Scores candidate frames
+    against the query directly via image-text contrastive similarity —
+    no caption round-trip. Selected when ``settings.BLIP_MODEL``
+    contains "blip2" (reference ``blip_model.py:184-197`` class choice)."""
+
+    def __init__(self, cfg=None, params: Optional[dict] = None,
+                 weights_path: Optional[str] = None,
+                 tokenizer=None) -> None:
+        from ..models.qformer import (Blip2Retrieval, QFormerConfig,
+                                      init_blip2)
+        from ..models.tokenizer import HashTokenizer, WordPieceTokenizer
+
+        self.cfg = cfg or QFormerConfig()
+        weights_path = weights_path or settings.BLIP_WEIGHTS
+        if params is not None:
+            self.model = Blip2Retrieval(self.cfg)
+            self.params = params
+        elif weights_path and Path(weights_path).exists():
+            self.model = Blip2Retrieval(self.cfg)
+            self.params = load_params(weights_path)
+            logger.info("BLIP-2 weights loaded from %s", weights_path)
+        else:
+            self.model, self.params = init_blip2(self.cfg, seed=0)
+            logger.info("BLIP-2 Q-Former randomly initialised")
+        vocab = settings.TOKENIZER_VOCAB
+        self.tokenizer = (WordPieceTokenizer(vocab)
+                          if tokenizer is None and vocab
+                          and Path(vocab).exists()
+                          else tokenizer or HashTokenizer(
+                              self.cfg.vocab_size))
+        self._fns = {}
+
+    def _fn(self, shape):
+        if shape not in self._fns:
+            model, size = self.model, self.cfg.image_size
+
+            @jax.jit
+            def run(params, frames_u8, ids, mask):
+                px = blip_preprocess(frames_u8, size=size)
+                return model.apply({"params": params}, px, ids, mask)
+
+            self._fns[shape] = run
+        return self._fns[shape]
+
+    def rerank_scores(self, frames: np.ndarray, query: str
+                      ) -> "tuple[np.ndarray, List[dict]]":
+        ids_list = self.tokenizer.encode(query)[:30]
+        ids = np.asarray([[101] + ids_list + [102]], np.int32)  # CLS/SEP
+        mask = np.ones_like(ids, bool)
+        scores = np.asarray(self._fn(frames.shape[1:])(
+            self.params, jnp.asarray(frames), jnp.asarray(ids),
+            jnp.asarray(mask)))[:, 0]
+        return scores.astype(np.float32), [{"itc_score": float(s)}
+                                           for s in scores]
+
+
+def make_reranker(engine: ClipEngine):
+    """Pick the phase-2 reranker by config (BLIP vs BLIP-2)."""
+    if "blip2" in settings.BLIP_MODEL.lower():
+        return Blip2RerankService()
+    return CaptionService(engine)
