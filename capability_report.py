@@ -20,6 +20,7 @@ import tempfile
 
 import numpy as np
 
+from avede_tpu.utils.platform import apply_platform_env
 
 def make_subject(rng) -> np.ndarray:
     """A distinctive multi-part 'subject' (colored blob figure)."""
@@ -48,6 +49,7 @@ def place(subject: np.ndarray, background: np.ndarray,
 
 
 def main() -> None:
+    apply_platform_env()
     import cv2
 
     from avede_tpu.models.clip import init_clip, tiny_test_config
