@@ -13,6 +13,7 @@ the model config (pairing the reference leaves implicit).
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -65,6 +66,10 @@ class ClipEngine:
         self._image_fns: Dict[Tuple[int, int, int], object] = {}
         self._text_fn = None
         self._px_fn = None
+        # concurrent API requests share one engine; building jitted fns
+        # must not race (the reference guards model loads the same way,
+        # universal_detector.py:118)
+        self._lock = threading.Lock()
 
     @property
     def model_tag(self) -> str:
@@ -80,6 +85,10 @@ class ClipEngine:
             return False
 
     def _image_fn(self, shape: Tuple[int, int, int]):
+        with self._lock:
+            return self._image_fn_locked(shape)
+
+    def _image_fn_locked(self, shape: Tuple[int, int, int]):
         if shape not in self._image_fns:
             model = self.model
             size = self.cfg.image_size

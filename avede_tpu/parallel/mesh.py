@@ -109,6 +109,28 @@ def reset_mesh() -> None:
     _GLOBAL = None
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (SURVEY.md §5 "Distributed
+    communication backend"): call once per host before building the
+    global mesh; afterwards ``jax.devices()`` spans all hosts and the
+    same ``build_mesh()`` covers the full slice (collectives ride ICI
+    within a slice, DCN across slices — laid out by the mesh order).
+
+    No-ops on a single process (this image exposes one chip)."""
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        logger.info("Single-process mode; skipping jax.distributed")
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    logger.info("jax.distributed initialized: process %d/%d",
+                process_id, num_processes)
+
+
 def pick_bucket(n: int, buckets: Optional[Sequence[int]] = None) -> int:
     """Smallest configured bucket ≥ n (avoids recompilation storms from
     ragged per-video frame counts — SURVEY.md §7.3.3)."""

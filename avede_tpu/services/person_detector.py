@@ -348,6 +348,25 @@ class PersonSearchService:
     def stop(self) -> None:
         self.stop_event.set()
 
+    def process_video_segment(self, video_path: str,
+                              reference_image: np.ndarray,
+                              start_time: float, end_time: float,
+                              **kwargs) -> Dict:
+        """Segment-bounded person search (reference
+        ``enhanced_video_processor.py:605-685`` variant): scan only
+        [start, end] seconds of the video."""
+        meta = probe_video(video_path)
+        out = self.process_video_for_person(video_path, reference_image,
+                                            **kwargs)
+        matches = [m for m in out["matches"]
+                   if start_time <= m["timestamp"] <= end_time]
+        out["matches"] = matches
+        out["results"] = matches
+        out["total_found"] = len(matches)
+        out["summary"]["segment"] = [start_time,
+                                     min(end_time, meta.duration)]
+        return out
+
     @staticmethod
     def _temporal_filter(matches: List[PersonMatch]) -> List[PersonMatch]:
         """Keep matches ≥ ``PERSON_TEMPORAL_KEEP_RATIO`` of the windowed

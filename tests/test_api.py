@@ -26,10 +26,34 @@ def api_client(tiny_clip, tmp_data_dirs):
     from avede_tpu.api.app import create_app
     from avede_tpu.services.video_processor import VideoProcessor
 
+    from avede_tpu.models.owlvit import init_owlvit, tiny_owlvit_config
+    from avede_tpu.models.yolo import init_yolo, tiny_yolo_config
+    from avede_tpu.services.background_independent import \
+        BackgroundIndependentService
+    from avede_tpu.services.detector import YoloService
+    from avede_tpu.services.person_detector import (PersonDetector,
+                                                    PersonSearchService)
+    from avede_tpu.services.small_object import SmallObjectService
+    from avede_tpu.services.universal_detector import UniversalDetector
+
     model, params = tiny_clip
     engine = ClipEngine(cfg=tiny_test_config(), params=params,
                         mesh=build_mesh())
     processor = VideoProcessor(engine=engine)
+    # wire every lazy pipeline with tiny models so endpoint tests never
+    # build full-size towers
+    ocfg = tiny_owlvit_config()
+    _, oparams = init_owlvit(ocfg, seed=0)
+    ycfg = tiny_yolo_config()
+    _, yvars = init_yolo(ycfg, seed=0)
+    yolo = YoloService(cfg=ycfg, variables=yvars)
+    ud = UniversalDetector(engine, owlvit_cfg=ocfg, owlvit_params=oparams,
+                           yolo=yolo)
+    processor._small_object = SmallObjectService(engine, detector=ud,
+                                                 tile=64, overlap=16)
+    processor._background = BackgroundIndependentService(engine)
+    processor._person = PersonSearchService(
+        engine, detector=PersonDetector(engine, yolo=yolo))
     app = create_app(processor)
 
     loop = asyncio.new_event_loop()
@@ -160,3 +184,48 @@ class TestImageEndpoints:
         image_id = body["image_id"]
         status, listing = api_client.get("/api/images")
         assert any(i["image_id"] == image_id for i in listing["images"])
+
+
+class TestAdvancedEndpoints:
+    """API-level coverage of the endpoints the reference ships broken
+    (SURVEY.md §2.6.6) — here they must return completed results."""
+
+    def test_small_object_bg_and_person(self, api_client, tmp_path):
+        import aiohttp
+        import cv2
+
+        video_file = make_test_video(tmp_path / "adv.mp4", n_frames=30)
+        form = aiohttp.FormData()
+        form.add_field("file", open(video_file, "rb"),
+                       filename="adv.mp4", content_type="video/mp4")
+        _, up = api_client.post("/api/upload", data=form)
+        vid = up["video_id"]
+
+        img = np.random.default_rng(0).integers(
+            0, 255, (96, 64, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".png", img[..., ::-1])
+        form = aiohttp.FormData()
+        form.add_field("file", buf.tobytes(), filename="p.png",
+                       content_type="image/png")
+        _, upi = api_client.post("/api/upload-image", data=form)
+        image_id = upi["image_id"]
+
+        status, so = api_client.post("/api/small-object-detection", json={
+            "video_id": vid, "object_queries": ["white square"],
+            "confidence_threshold": -1.0, "min_object_size": 2,
+            "max_object_size": 64})
+        assert status == 200 and so["status"] == "completed"
+        assert "small_objects_found" in so and "enhancement_stats" in so
+
+        status, bg = api_client.post("/api/background-independence", json={
+            "video_id": vid, "object_queries": "white square",
+            "confidence_threshold": -1.0})
+        assert status == 200 and bg["status"] == "completed"
+        assert "background_independence_stats" in bg
+
+        status, pd = api_client.post(
+            "/api/enhanced-person-detection", json={
+                "video_id": vid, "image_id": image_id,
+                "similarity_threshold": -1.0, "frame_skip": 10})
+        assert status == 200 and pd["status"] == "completed"
+        assert "summary" in pd
