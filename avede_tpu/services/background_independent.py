@@ -85,9 +85,11 @@ def shape_descriptor(mask: np.ndarray) -> np.ndarray:
 
 class BackgroundIndependentService:
     def __init__(self, engine: ClipEngine,
-                 reader: Optional[VideoReader] = None) -> None:
+                 reader: Optional[VideoReader] = None,
+                 detector=None) -> None:
         self.engine = engine
         self.reader = reader or VideoReader()
+        self._detector = detector
 
     # ------------------------------------------------------------------
     def extract_features(self, image: np.ndarray, bbox: Sequence[float],
@@ -153,9 +155,11 @@ class BackgroundIndependentService:
             video_path, sample_rate=sample_rate,
             max_frames=min(settings.MAX_FRAMES, 60))
         if detector is None:
-            from .universal_detector import UniversalDetector
+            if self._detector is None:
+                from .universal_detector import UniversalDetector
 
-            detector = UniversalDetector(self.engine)
+                self._detector = UniversalDetector(self.engine)
+            detector = self._detector
         text = self.engine.embed_texts(list(queries))
 
         results: List[Dict] = []

@@ -45,6 +45,7 @@ class VideoProcessor:
         self.clip_writer = ClipWriter()
         self._phase2 = None
         self._phase3 = None
+        self._universal_detector = None
         self._image_matching = None
         self._open_vocab = None
         self._small_object = None
@@ -77,11 +78,23 @@ class VideoProcessor:
         return self._image_matching
 
     @property
+    def universal_detector(self):
+        """One detector hub shared by every detection-flavored service
+        (three independent OWL-ViT towers would triple resident
+        weights)."""
+        if self._universal_detector is None:
+            from .universal_detector import UniversalDetector
+
+            self._universal_detector = UniversalDetector(self.engine)
+        return self._universal_detector
+
+    @property
     def open_vocab(self):
         if self._open_vocab is None:
             from .open_vocab_matcher import OpenVocabMatcher
 
-            self._open_vocab = OpenVocabMatcher(self.engine)
+            self._open_vocab = OpenVocabMatcher(
+                self.engine, detector=self.universal_detector)
         return self._open_vocab
 
     @property
@@ -89,7 +102,8 @@ class VideoProcessor:
         if self._small_object is None:
             from .small_object import SmallObjectService
 
-            self._small_object = SmallObjectService(self.engine)
+            self._small_object = SmallObjectService(
+                self.engine, detector=self.universal_detector)
         return self._small_object
 
     @property
@@ -97,7 +111,8 @@ class VideoProcessor:
         if self._background is None:
             from .background_independent import BackgroundIndependentService
 
-            self._background = BackgroundIndependentService(self.engine)
+            self._background = BackgroundIndependentService(
+                self.engine, detector=self.universal_detector)
         return self._background
 
     @property

@@ -55,20 +55,43 @@ def main() -> None:
 
     # warmup: compile AND exercise the device→host transfer path (through
     # the axon tunnel the first host materialization is slow)
-    for _ in range(3):
+    for _ in range(2):
         np.asarray(scan(params, frames_dev, query))
 
-    # best-of-3 trials: the remote-tunnel round-trip adds jitter that a
+    # best-of-2 trials: the remote-tunnel round-trip adds jitter that a
     # single trial can't average out
-    reps = 10
+    reps = 6
     best_dt = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(reps):
             scores = np.asarray(scan(params, frames_dev, query))
         best_dt = min(best_dt, (time.perf_counter() - t0) / reps)
     dt = best_dt
     fps = batch / dt
+
+    # secondary: warm end-to-end query latency on a 600-frame table
+    # (10-min video @1 fps) — embeddings resident, score+topk+gather.
+    # Never allowed to sink the primary metric.
+    warm_query_ms = None
+    try:
+        from avede_tpu.ops.similarity import window_topk
+
+        emb600 = jax.device_put(jnp.asarray(
+            np.random.default_rng(2).normal(
+                size=(600, cfg.projection_dim)).astype(np.float32)), dev)
+        valid = jnp.ones((600,), bool)
+        mids = jnp.asarray(np.arange(8, 600 - 8, 8, dtype=np.int32))
+        np.asarray(window_topk(emb600, valid, query, mids, k=15)[0])
+        t0 = time.perf_counter()
+        reps_q = 3
+        for _ in range(reps_q):
+            v, i = window_topk(emb600, valid, query, mids, k=15)
+            np.asarray(v)
+        warm_query_ms = round(
+            (time.perf_counter() - t0) / reps_q * 1000, 2)
+    except Exception:  # noqa: BLE001 — secondary metric only
+        pass
 
     print(json.dumps({
         "metric": "clip_scan_frames_per_sec_per_chip",
@@ -81,6 +104,8 @@ def main() -> None:
             "device": str(dev),
             "model": "ViT-B/32 bf16",
             "input": "uint8 512x288 (decoded 1080p)",
+            "warm_query_p50_ms_600frames": warm_query_ms,
+            "cold_scan_s_600frames": round(600 / fps, 3),
         },
     }))
 

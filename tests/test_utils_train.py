@@ -145,3 +145,31 @@ class TestCheckpoint:
         a = jax.tree.leaves(state.params)[0]
         b = jax.tree.leaves(restored.params)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestTrace:
+    def test_trace_records_metric(self):
+        from avede_tpu.utils.metrics import get_monitor
+        from avede_tpu.utils.trace import trace
+
+        with trace("unit_test_op"):
+            pass
+        assert "unit_test_op" in get_monitor().summary()["operations"]
+
+    def test_profile_noop_without_dir(self, monkeypatch):
+        from avede_tpu.utils.trace import profile_to
+
+        monkeypatch.delenv("AVEDE_PROFILE", raising=False)
+        with profile_to():
+            pass  # must not start a profiler
+
+    def test_profile_captures(self, tmp_path):
+        import jax.numpy as jnp
+
+        from avede_tpu.utils.trace import profile_to
+
+        with profile_to(str(tmp_path / "prof")):
+            jnp.ones(8).sum().block_until_ready()
+        import os
+
+        assert any(os.scandir(tmp_path / "prof"))
