@@ -17,3 +17,25 @@ detection, temporal grounding, and clip extraction — designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level exports (importing jax-heavy modules only when
+    the symbol is actually used)."""
+    if name == "VideoProcessor":
+        from .services.video_processor import VideoProcessor
+
+        return VideoProcessor
+    if name == "ClipEngine":
+        from .parallel.embed import ClipEngine
+
+        return ClipEngine
+    if name == "settings":
+        from .utils.config import settings
+
+        return settings
+    if name == "create_app":
+        from .api.app import create_app
+
+        return create_app
+    raise AttributeError(f"module 'avede_tpu' has no attribute {name!r}")

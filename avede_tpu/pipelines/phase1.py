@@ -65,7 +65,8 @@ class Phase1Scan:
     def process_video(self, video_path: str, query: str,
                       top_k: Optional[int] = None,
                       threshold: Optional[float] = None,
-                      video_id: Optional[str] = None) -> List[Dict]:
+                      video_id: Optional[str] = None,
+                      debug_mode: bool = False):
         top_k = top_k or settings.TOP_K_RESULTS
         threshold = (settings.CONFIDENCE_THRESHOLD if threshold is None
                      else threshold)
@@ -77,7 +78,7 @@ class Phase1Scan:
         wts = window_timestamps(ts, settings.WINDOW_SIZE,
                                 settings.WINDOW_STRIDE)
         if len(mids) == 0:
-            return []
+            return ([], {}) if debug_mode else []
 
         q = self.engine.embed_texts(query)[0]
         k = min(top_k, len(mids))
@@ -97,7 +98,32 @@ class Phase1Scan:
                 })
         logger.info("Phase 1: %d/%d windows above threshold %.2f for %r",
                     len(results), len(mids), threshold, query)
+        if debug_mode:
+            return results, self._debug_analysis(emb, q, mids, threshold)
         return results
+
+    @staticmethod
+    def _debug_analysis(emb: np.ndarray, q: np.ndarray, mids: np.ndarray,
+                        threshold: float) -> Dict:
+        """Similarity statistics + percentile-based threshold
+        recommendations (reference ``phase1_mvp.py:165-212`` debug
+        panel consumed by the UI)."""
+        sims = emb[mids] @ q
+        pct = {p: float(np.percentile(sims, p))
+               for p in (50, 75, 90, 95, 99)}
+        return {
+            "similarity_stats": {
+                "min": float(sims.min()), "max": float(sims.max()),
+                "mean": float(sims.mean()), "std": float(sims.std()),
+            },
+            "percentiles": pct,
+            "windows_above_threshold": int((sims >= threshold).sum()),
+            "threshold_recommendations": {
+                "strict": pct[95],
+                "balanced": pct[90],
+                "permissive": pct[75],
+            },
+        }
 
 
 def _default_video_id(video_path: str) -> str:

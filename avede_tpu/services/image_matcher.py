@@ -45,6 +45,20 @@ HASH_MAX_DISTANCE = 20        # stage-1 pHash gate (of 64 bits)
 CLIP_STAGE_KEEP = 40          # CLIP survivors entering host stages
 
 
+def _phash_distances(image: np.ndarray, frames: np.ndarray) -> np.ndarray:
+    """Hamming distance of the reference hash vs every frame hash —
+    native C++ batch kernels (``native/hostops``) with numpy fallback."""
+    import cv2
+
+    from ..native import hostops
+
+    gray = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) for f in frames])
+    ref_gray = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY)
+    hashes = hostops.phash_batch(gray)
+    ref = int(hostops.phash_batch(ref_gray[None])[0])
+    return hostops.hamming_batch(ref, hashes)
+
+
 class ImageMatcher:
     def __init__(self, engine: ClipEngine,
                  reader: Optional[VideoReader] = None,
@@ -154,9 +168,8 @@ class ImageMatcher:
 
     def _traditional(self, image, frames, ts, clip_sims,
                      threshold) -> List[Dict]:
-        # stage 1: pHash gate
-        ref_hash = F.perceptual_hash(image)
-        dists = F.hamming_batch(ref_hash, F.phash_batch(frames))
+        # stage 1: pHash gate (C++ hostops batch path when built)
+        dists = _phash_distances(image, frames)
         # stage 2: CLIP ranking of hash survivors; keep top CLIP_STAGE_KEEP
         mask = dists <= HASH_MAX_DISTANCE
         if not mask.any():

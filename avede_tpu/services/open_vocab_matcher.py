@@ -164,29 +164,23 @@ class OpenVocabMatcher:
     def _deduplicate(results: List[Dict], time_window: float = 2.0,
                      iou_threshold: float = 0.5) -> List[Dict]:
         """Reference dedup semantics (``open_vocab_matcher.py:517-565``):
-        same query, Δt ≤ 2 s, IoU ≥ 0.5 → keep best composite."""
-        import jax.numpy as jnp
-
-        from ..ops.boxes import pairwise_iou
+        same query, Δt ≤ 2 s, IoU ≥ 0.5 → keep best composite. Runs the
+        native C++ kernel (``native/hostops.temporal_dedup``)."""
+        from ..native import hostops
 
         if len(results) <= 1:
             return list(results)
         order = sorted(results, key=lambda r: r["composite_score"],
                        reverse=True)
         boxes = np.asarray([r["bbox"] for r in order], np.float32)
-        iou = np.asarray(pairwise_iou(jnp.asarray(boxes),
-                                      jnp.asarray(boxes)))
-        kept: List[int] = []
-        for i in range(len(order)):
-            dup = any(
-                order[i].get("query") == order[j].get("query")
-                and abs(order[i]["timestamp"] - order[j]["timestamp"])
-                <= time_window
-                and iou[i, j] >= iou_threshold
-                for j in kept)
-            if not dup:
-                kept.append(i)
-        return [order[i] for i in kept]
+        times = np.asarray([r["timestamp"] for r in order], np.float32)
+        queries = {q: i for i, q in enumerate(
+            {r.get("query") for r in order})}
+        qids = np.asarray([queries[r.get("query")] for r in order],
+                          np.int32)
+        keep = hostops.temporal_dedup(boxes, times, qids, time_window,
+                                      iou_threshold)
+        return [order[i] for i in keep]
 
     @staticmethod
     def _rank(results: List[Dict], precision: str) -> List[Dict]:

@@ -108,3 +108,29 @@ class TestVideoProcessor:
         video = make_test_video(tmp_data_dirs / "videos" / "v3.mp4")
         info = processor.validate_video(video)
         assert info["valid"] and info["total_frames"] == 75
+
+
+class TestDebugMode:
+    def test_debug_analysis_payload(self, test_video, tiny_engine,
+                                    tmp_path):
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+
+        scan = Phase1Scan(tiny_engine,
+                          cache=EmbeddingCache(str(tmp_path / "emb")))
+        results, debug = scan.process_video(
+            test_video, "white square", threshold=-1.0, debug_mode=True)
+        assert "similarity_stats" in debug
+        assert debug["percentiles"][50] <= debug["percentiles"][95]
+        recs = debug["threshold_recommendations"]
+        assert recs["permissive"] <= recs["balanced"] <= recs["strict"]
+
+
+class TestTopLevelExports:
+    def test_lazy_exports(self):
+        import avede_tpu
+
+        assert avede_tpu.VideoProcessor.__name__ == "VideoProcessor"
+        assert avede_tpu.settings.WINDOW_SIZE == 16
+        with pytest.raises(AttributeError):
+            avede_tpu.nonexistent
