@@ -26,7 +26,7 @@ from typing import Any, Dict, Mapping, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from .layers import Transformer
 

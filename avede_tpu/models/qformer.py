@@ -22,7 +22,7 @@ Numerics match HF (tests/test_qformer_parity.py) so the public
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Optional
 
 import flax.linen as nn
 import jax

@@ -26,7 +26,7 @@ video-temporal-grounding architecture in the UniVTG family (video+text
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ All kernels run in interpret mode on CPU (tests) and compiled on TPU.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

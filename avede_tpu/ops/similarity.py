@@ -11,7 +11,7 @@ score vector — XLA inserts the collective from the sharding annotations.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

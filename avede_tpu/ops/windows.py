@@ -19,7 +19,7 @@ and the gather stays on device.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

@@ -20,7 +20,7 @@ collective latency than they save (SURVEY.md §2.7, §5).
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from ..io.video_reader import VideoReader
-from ..ops.tiling import tile_frame, untile_boxes
+from ..ops.tiling import tile_frame
 from ..parallel.embed import ClipEngine
 from ..utils.config import settings
 from ..utils.logging import get_logger

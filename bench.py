@@ -110,5 +110,39 @@ def main() -> None:
     }))
 
 
+def _supervised() -> None:
+    """Run the measurement in a child process with a hard timeout: the
+    remote-TPU tunnel can wedge indefinitely (observed: a lost grant
+    hangs every XLA call), and the driver needs ONE json line either
+    way."""
+    import subprocess
+    import sys
+
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--measure"],
+                capture_output=True, text=True, timeout=540)
+        except subprocess.TimeoutExpired:
+            continue
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                print(line)
+                return
+    print(json.dumps({
+        "metric": "clip_scan_frames_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+        "detail": {"error": "TPU unresponsive: measurement child timed "
+                            "out twice (remote tunnel wedged)"},
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--measure" in sys.argv:
+        main()
+    else:
+        _supervised()
