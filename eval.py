@@ -159,11 +159,130 @@ def eval_grounding(seed: int = 0, steps: int = 150) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# text→video retrieval with a trained tiny CLIP
+# ---------------------------------------------------------------------------
+
+SHAPES = ("square", "circle", "triangle", "stripe")
+COLORS = {"red": (220, 40, 40), "green": (40, 200, 60),
+          "blue": (50, 80, 220), "yellow": (230, 220, 40)}
+
+
+def _draw(shape: str, color, rng, size: int = 32) -> np.ndarray:
+    import cv2
+
+    img = np.full((size, size, 3),
+                  rng.integers(20, 60), np.uint8)
+    c = tuple(int(v) for v in color)
+    cx, cy = size // 2 + int(rng.integers(-3, 4)), size // 2 + int(
+        rng.integers(-3, 4))
+    r = size // 4 + int(rng.integers(-2, 3))
+    if shape == "square":
+        cv2.rectangle(img, (cx - r, cy - r), (cx + r, cy + r), c, -1)
+    elif shape == "circle":
+        cv2.circle(img, (cx, cy), r, c, -1)
+    elif shape == "triangle":
+        pts = np.array([[cx, cy - r], [cx - r, cy + r], [cx + r, cy + r]])
+        cv2.fillPoly(img, [pts], c)
+    else:  # stripe
+        cv2.rectangle(img, (0, cy - 3), (size, cy + 3), c, -1)
+    noise = rng.integers(-10, 10, img.shape)
+    return np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+
+
+def eval_text_trained(seed: int = 0, steps: int = 400) -> dict:
+    """Train a tiny CLIP contrastively on synthetic (shape image,
+    caption) pairs, then measure text→video retrieval through the REAL
+    phase-1 pipeline — the end-to-end proof that the whole path
+    (tokenize → encode → cache → window top-k) learns."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from avede_tpu.models.clip import CLIPModel, tiny_test_config
+    from avede_tpu.models.tokenizer import Tokenizer
+    from avede_tpu.ops.preprocess import clip_preprocess
+    from avede_tpu.parallel.embed import ClipEngine
+    from avede_tpu.parallel.mesh import build_mesh
+    from avede_tpu.parallel.train import (TrainState,
+                                          clip_contrastive_loss)
+    import optax
+
+    rng = np.random.default_rng(seed)
+    cfg = tiny_test_config()
+    tok = Tokenizer(bpe_path=None, vocab_size=cfg.vocab_size,
+                    context_len=cfg.max_text_len)
+    from avede_tpu.models.clip import init_clip
+
+    model, params = init_clip(cfg, seed=seed)
+    tx = optax.adam(1e-3)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    pairs = [(s, cname) for s in SHAPES for cname in COLORS]
+
+    @jax.jit
+    def step(state, px, ids):
+        def loss_fn(p):
+            img, txt, scale = model.apply({"params": p}, px, ids)
+            return clip_contrastive_loss(img, txt, scale)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    batch = len(pairs)  # one of each class per batch
+    for _ in range(steps):
+        imgs = np.stack([_draw(s, COLORS[c], rng) for s, c in pairs])
+        caps = [f"a {c} {s}" for s, c in pairs]
+        px = clip_preprocess(jnp.asarray(imgs), size=cfg.image_size)
+        ids = jnp.asarray(tok(caps))
+        state, loss = step(state, px, ids)
+
+    # build a video: 3 s per held-out class instance
+    engine = ClipEngine(cfg=cfg, params=jax.device_get(state.params),
+                        mesh=build_mesh(jax.devices()[:1]))
+    from avede_tpu.io.embedding_cache import EmbeddingCache
+    from avede_tpu.pipelines.phase1 import Phase1Scan
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="avede_txt_")
+    video = os.path.join(tmp, "shapes.mp4")
+    fps, span = 4.0, 8
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                        (64, 64))
+    order = list(pairs)
+    rng.shuffle(order)
+    gt = {}
+    t = 0
+    for s, c in order:
+        gt[(s, c)] = (t / fps, (t + span) / fps)
+        for _ in range(span):
+            img = cv2.resize(_draw(s, COLORS[c], rng), (64, 64),
+                             interpolation=cv2.INTER_NEAREST)
+            w.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            t += 1
+    w.release()
+
+    scan = Phase1Scan(engine, cache=None)
+    scan.cache = None
+    hits = 0
+    for s, c in pairs:
+        results = scan.process_video(video, f"a {c} {s}", top_k=3,
+                                     threshold=-1.0,
+                                     video_id=f"txt_{s}_{c}")
+        lo, hi = gt[(s, c)]
+        if results and lo - 1.1 <= results[0]["timestamp"] <= hi + 1.1:
+            hits += 1
+    return {"precision_at_1": hits / len(pairs),
+            "classes": len(pairs), "train_steps": steps,
+            "final_train_loss": float(loss)}
+
+
+# ---------------------------------------------------------------------------
 
 def main() -> None:
     apply_platform_env()
     parser = argparse.ArgumentParser()
-    parser.add_argument("--mode", choices=["image", "grounding", "all"],
+    parser.add_argument("--mode",
+                        choices=["image", "grounding", "text", "all"],
                         default="all")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -172,6 +291,8 @@ def main() -> None:
         out["image_retrieval"] = eval_image_retrieval(args.seed)
     if args.mode in ("grounding", "all"):
         out["temporal_grounding"] = eval_grounding(args.seed)
+    if args.mode in ("text", "all"):
+        out["text_retrieval_trained"] = eval_text_trained(args.seed)
     print(json.dumps(out, indent=2))
 
 
