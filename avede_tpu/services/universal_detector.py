@@ -151,13 +151,15 @@ class UniversalDetector:
                              queries: Sequence[str],
                              conf_threshold: float = 0.25
                              ) -> List[List[Dict]]:
-        """YOLO boxes semantically filtered by CLIP crop↔query similarity
+        """YOLO boxes semantically filtered against the queries
         (reference ``object_detector.py:753-904`` 'yolo_only'/'hybrid'
-        semantic filter role)."""
+        semantic filter role): CLIP crop↔query cosine PLUS the lexical
+        class-name↔query Jaccard the reference uses, fused."""
         det = self.yolo.detect(frames, conf_threshold)
         from .detector import extract_object_embeddings
 
         text = self.engine.embed_texts(list(queries))
+        q_tokens = [set(q.lower().split()) for q in queries]
         out = []
         for frame, dets in zip(frames, det):
             kept = []
@@ -166,15 +168,20 @@ class UniversalDetector:
                     self.engine, frame, [d["bbox"] for d in dets])
                 sims = emb @ text.T
                 for d, row in zip(dets, sims):
-                    qi = int(np.argmax(row))
-                    sim = float(row[qi])
-                    if sim > 0.15:
+                    cls_tokens = set(d["class_name"].lower().split())
+                    lex = np.asarray([
+                        len(cls_tokens & qt) / max(len(cls_tokens | qt), 1)
+                        for qt in q_tokens])
+                    fused = 0.7 * np.maximum(row, 0.0) + 0.3 * lex
+                    qi = int(np.argmax(fused))
+                    if fused[qi] > 0.12:
                         kept.append({**d, "query": queries[qi],
-                                     "query_similarity": sim,
+                                     "query_similarity": float(row[qi]),
+                                     "lexical_similarity": float(lex[qi]),
                                      "method": "yolo_enhanced",
                                      "confidence":
                                          float(d["confidence"] * 0.5
-                                               + 0.5 * min(max(sim, 0), 1))})
+                                               + 0.5 * min(fused[qi], 1.0))})
             out.append(kept)
         return out
 

@@ -98,3 +98,65 @@ class TestGraftEntry:
         m = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(m)
         m.dryrun_multichip(8)
+
+
+class TestBatchingExecutor:
+    def test_coalesces_concurrent_requests(self):
+        import threading
+        import time
+
+        from avede_tpu.parallel.scheduler import BatchingExecutor
+
+        calls = []
+
+        def fn(batch):
+            calls.append(len(batch))
+            return batch * 2.0
+
+        ex = BatchingExecutor(fn, max_batch=64, max_wait_ms=50)
+        futs = []
+
+        def worker(i):
+            futs.append((i, ex.submit(np.full((3, 4), float(i)))))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        results = {i: f.result(timeout=5) for i, f in futs}
+        for i, r in results.items():
+            np.testing.assert_allclose(r, np.full((3, 4), 2.0 * i))
+        ex.close()
+        # 15 items in fewer device calls than requests
+        assert sum(calls) == 15
+        assert len(calls) < 5
+
+    def test_error_propagates_to_futures(self):
+        from avede_tpu.parallel.scheduler import BatchingExecutor
+
+        def bad(batch):
+            raise ValueError("boom")
+
+        ex = BatchingExecutor(bad, max_wait_ms=5)
+        fut = ex.submit(np.zeros((2, 2)))
+        with pytest.raises(ValueError, match="boom"):
+            fut.result(timeout=5)
+        ex.close()
+
+    def test_max_batch_splits(self):
+        from avede_tpu.parallel.scheduler import BatchingExecutor
+
+        calls = []
+
+        def fn(batch):
+            calls.append(len(batch))
+            return batch
+
+        ex = BatchingExecutor(fn, max_batch=4, max_wait_ms=30)
+        futs = [ex.submit(np.zeros((3, 2))) for _ in range(4)]
+        for f in futs:
+            f.result(timeout=5)
+        ex.close()
+        assert all(c <= 6 for c in calls)  # never far past max_batch
