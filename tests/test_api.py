@@ -229,3 +229,31 @@ class TestAdvancedEndpoints:
                 "similarity_threshold": -1.0, "frame_skip": 10})
         assert status == 200 and pd["status"] == "completed"
         assert "summary" in pd
+
+
+class TestConcurrency:
+    def test_concurrent_queries(self, api_client, tmp_path):
+        """5-way concurrent requests against one engine (reference
+        tests/test_api_endpoints.py:364-407 role, unmocked)."""
+        import aiohttp
+        import asyncio
+
+        video_file = make_test_video(tmp_path / "cc.mp4", n_frames=40)
+        form = aiohttp.FormData()
+        form.add_field("file", open(video_file, "rb"),
+                       filename="cc.mp4", content_type="video/mp4")
+        _, up = api_client.post("/api/upload", data=form)
+        vid = up["video_id"]
+
+        async def one(i):
+            # reuse the test client; requests interleave on the loop
+            return await api_client._req("POST", "/api/query", json={
+                "video_id": vid, "query": f"query {i}", "mode": "mvp",
+                "threshold": -1.0})
+
+        async def many():
+            return await asyncio.gather(*(one(i) for i in range(5)))
+
+        results = api_client.loop.run_until_complete(many())
+        assert all(status == 200 for status, _ in results)
+        assert all(body["status"] == "completed" for _, body in results)

@@ -80,3 +80,52 @@ class TestFusedVisionPath:
                           method=model.encode_image_from_patches)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestQuantization:
+    def test_roundtrip_error_bounded(self):
+        import jax.numpy as jnp
+        from avede_tpu.ops.quant import dequantize, quantize_per_channel
+
+        rng = np.random.default_rng(0)
+        w = rng.normal(0, 0.05, (64, 32)).astype(np.float32)
+        q, s = quantize_per_channel(jnp.asarray(w))
+        back = np.asarray(dequantize(q, s))
+        # max error bounded by half a quantization step per channel
+        step = np.asarray(s)
+        assert (np.abs(back - w) <= step[None, :] * 0.5 + 1e-8).all()
+
+    def test_pallas_kernel_matches_reference(self):
+        import jax.numpy as jnp
+        from avede_tpu.ops.quant import (quantize_kernel_pallas,
+                                         quantize_per_channel)
+
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.normal(0, 0.1, (32, 16)).astype(np.float32))
+        q1, s1 = quantize_per_channel(w)
+        q2, s2 = quantize_kernel_pallas(w, interpret=True)
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-6)
+
+    def test_quantized_matmul_close_to_f32(self):
+        import jax.numpy as jnp
+        from avede_tpu.ops.quant import (quantize_per_channel,
+                                         quantized_matmul)
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(8, 64)).astype(np.float32)
+        w = rng.normal(0, 0.05, (64, 32)).astype(np.float32)
+        q, s = quantize_per_channel(jnp.asarray(w))
+        got = np.asarray(quantized_matmul(jnp.asarray(x), q, s))
+        ref = x @ w
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 0.02, rel
+
+    def test_tree_quantization_report(self, tiny_clip):
+        from avede_tpu.ops.quant import quantize_dense_tree
+
+        _, params = tiny_clip
+        q_tree, s_tree, report = quantize_dense_tree(params)
+        assert report["kernels_quantized"] > 10
+        assert report["ratio"] < 0.5  # better than half the bytes

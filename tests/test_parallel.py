@@ -160,3 +160,15 @@ class TestBatchingExecutor:
             f.result(timeout=5)
         ex.close()
         assert all(c <= 6 for c in calls)  # never far past max_batch
+
+
+class TestDryrunDeviceCounts:
+    @pytest.mark.parametrize("n", [2, 4, 6, 8])
+    def test_dryrun_various_counts(self, n):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry2", "__graft_entry__.py")
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        m.dryrun_multichip(n)
