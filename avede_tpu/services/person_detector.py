@@ -254,6 +254,25 @@ class PersonDetector:
                 **{f"{k}_similarity": float(max(v, 0.0))
                    if v is not None else 0.0 for k, v in sims.items()}}
 
+    def find_person_in_frame(self, frame: np.ndarray, reference: Dict,
+                             threshold: Optional[float] = None
+                             ) -> List[Dict]:
+        """Single-frame matcher (reference
+        ``enhanced_person_detector.py:878-908``): detections in the
+        frame scored against reference features, threshold-filtered."""
+        thr = (settings.PERSON_SIMILARITY_THRESHOLD if threshold is None
+               else threshold)
+        dets = self.detect_persons(frame[None])[0]
+        if not dets:
+            return []
+        feats = self.extract_features(frame, [d["bbox"] for d in dets])
+        out = []
+        for d, f in zip(dets, feats):
+            sims = self.similarity(reference, f)
+            if sims["similarity"] >= thr:
+                out.append({**d, **sims})
+        return out
+
     def process_reference(self, image: np.ndarray) -> Dict:
         """Best person detection in the reference image → its features;
         falls back to the whole image as the person region."""

@@ -233,3 +233,17 @@ class TestBackgroundIndependent:
                                  sample_rate=25, detector=ud)
         assert {"results", "background_independence_stats"} <= set(out)
         assert out["background_independence_stats"]["candidates"] >= 0
+
+
+class TestFindPersonInFrame:
+    def test_single_frame_matcher(self, engine, tiny_yolo):
+        from avede_tpu.services.person_detector import PersonDetector
+
+        det = PersonDetector(engine, yolo=tiny_yolo)
+        rng = np.random.default_rng(7)
+        ref_img = rng.integers(0, 255, (96, 64, 3), dtype=np.uint8)
+        ref = det.process_reference(ref_img)
+        frame = rng.integers(0, 255, (96, 64, 3), dtype=np.uint8)
+        out = det.find_person_in_frame(frame, ref, threshold=-1.0)
+        for m in out:
+            assert {"bbox", "similarity", "face_similarity"} <= set(m)
