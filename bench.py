@@ -110,6 +110,50 @@ def main() -> None:
     }))
 
 
+def bench_yolo() -> None:
+    """Secondary config (BASELINE.json: "YOLOv8n detection + NMS on
+    device"): frames/sec for the full device detection path."""
+    import jax
+    import jax.numpy as jnp
+
+    from avede_tpu.models.yolo import (decode_predictions, init_yolo,
+                                       yolov8n)
+    from avede_tpu.ops.nms import nms_per_class
+
+    cfg = yolov8n()
+    model, variables = init_yolo(cfg, seed=0)
+    batch = 32
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(batch, 640, 640, 3), dtype=np.uint8)
+
+    @jax.jit
+    def detect(variables, frames_u8):
+        x = frames_u8.astype(jnp.float32) / 255.0
+        boxes, cls = decode_predictions(model.apply(variables, x), cfg)
+        score = jnp.max(cls, axis=-1)
+        label = jnp.argmax(cls, axis=-1)
+        masked = jnp.where(score >= 0.25, score, -jnp.inf)
+        return jax.vmap(lambda b, s, l: nms_per_class(
+            b, s, l.astype(jnp.int32), 0.45, 100))(boxes, masked, label)
+
+    fd = jnp.asarray(frames)
+    for _ in range(2):
+        jax.tree.map(np.asarray, detect(variables, fd))
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = jax.tree.map(np.asarray, detect(variables, fd))
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": "yolov8n_detect_nms_frames_per_sec_per_chip",
+        "value": round(batch / dt, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(batch / dt / BASELINE_FPS, 2),
+        "detail": {"batch": batch, "input": "640x640 uint8",
+                   "max_detections": 100},
+    }))
+
+
 def _supervised() -> None:
     """Run the measurement in a child process with a hard timeout: the
     remote-TPU tunnel can wedge indefinitely (observed: a lost grant
@@ -142,7 +186,9 @@ def _supervised() -> None:
 if __name__ == "__main__":
     import sys
 
-    if "--measure" in sys.argv:
+    if "--yolo" in sys.argv:
+        bench_yolo()
+    elif "--measure" in sys.argv:
         main()
     else:
         _supervised()
