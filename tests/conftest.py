@@ -22,6 +22,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: identical programs (tiny models rebuilt
+# per fixture) hit disk instead of recompiling, across tests AND runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/avede_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
