@@ -102,6 +102,37 @@ class Phase1Scan:
             return results, self._debug_analysis(emb, q, mids, threshold)
         return results
 
+    def process_queries(self, video_path: str, queries: List[str],
+                        top_k: Optional[int] = None,
+                        threshold: Optional[float] = None,
+                        video_id: Optional[str] = None
+                        ) -> Dict[str, List[Dict]]:
+        """Multi-query scan: ONE embedding table, one [W, Q] score
+        matmul — marginal cost per extra query ≈ one text encode.
+        (No reference analog; its architecture re-scans per query.)"""
+        top_k = top_k or settings.TOP_K_RESULTS
+        threshold = (settings.CONFIDENCE_THRESHOLD if threshold is None
+                     else threshold)
+        emb, ts = self.frame_embeddings(video_path, video_id)
+        mids = window_middle_indices(len(emb), settings.WINDOW_SIZE,
+                                     settings.WINDOW_STRIDE)
+        wts = window_timestamps(ts, settings.WINDOW_SIZE,
+                                settings.WINDOW_STRIDE)
+        if len(mids) == 0:
+            return {q: [] for q in queries}
+        q_emb = self.engine.embed_texts(queries)          # [Q, D]
+        scores = emb[mids] @ q_emb.T                      # [W, Q]
+        out: Dict[str, List[Dict]] = {}
+        for qi, query in enumerate(queries):
+            order = np.argsort(scores[:, qi])[::-1][:top_k]
+            out[query] = [{
+                "timestamp": float(wts[int(i)]),
+                "confidence": float(scores[i, qi]),
+                "phase": self.phase_name,
+                "window_index": int(i),
+            } for i in order if scores[i, qi] >= threshold]
+        return out
+
     @staticmethod
     def _debug_analysis(emb: np.ndarray, q: np.ndarray, mids: np.ndarray,
                         threshold: float) -> Dict:

@@ -134,3 +134,24 @@ class TestTopLevelExports:
         assert avede_tpu.settings.WINDOW_SIZE == 16
         with pytest.raises(AttributeError):
             avede_tpu.nonexistent
+
+
+class TestMultiQuery:
+    def test_batch_queries_match_single(self, test_video, tiny_engine,
+                                        tmp_path):
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+
+        scan = Phase1Scan(tiny_engine,
+                          cache=EmbeddingCache(str(tmp_path / "emb")))
+        queries = ["white square", "dark frame", "moving object"]
+        batch = scan.process_queries(test_video, queries, top_k=4,
+                                     threshold=-1.0, video_id="mq")
+        assert set(batch) == set(queries)
+        for q in queries:
+            single = scan.process_video(test_video, q, top_k=4,
+                                        threshold=-1.0, video_id="mq")
+            assert [r["window_index"] for r in batch[q]] == \
+                [r["window_index"] for r in single]
+            for a, b in zip(batch[q], single):
+                assert abs(a["confidence"] - b["confidence"]) < 1e-5
