@@ -1,0 +1,97 @@
+"""Scan-path tuning sweep — run on real TPU hardware.
+
+Sweeps the knobs that move the phase-1 device path (batch size, compute
+dtype, resize method, donation) and prints a ranked table; the winner's
+settings go into ``bench.py``/``Settings``. Usage:
+
+    python tools/tune_scan.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import itertools
+import json
+import time
+
+import numpy as np
+
+
+def measure(batch: int, dtype: str, method: str, donate: bool,
+            reps: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from avede_tpu.models.clip import init_clip, vit_b32
+    from avede_tpu.ops.preprocess import (CLIP_MEAN, CLIP_STD,
+                                          central_square_crop,
+                                          resize_frames)
+
+    cfg = dataclasses.replace(vit_b32(), dtype=dtype)
+    model, params = init_clip(cfg, seed=0)
+
+    def scan(params, frames_u8, query):
+        x = central_square_crop(frames_u8).astype(jnp.float32) / 255.0
+        x = resize_frames(x, cfg.image_size, method)
+        x = (x - CLIP_MEAN) / CLIP_STD
+        emb = model.apply({"params": params}, x,
+                          method=model.encode_image)
+        return jnp.dot(emb, query, preferred_element_type=jnp.float32)
+
+    fn = jax.jit(scan, donate_argnums=(1,) if donate else ())
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(batch, 288, 512, 3), dtype=np.uint8)
+    query = jnp.asarray(np.random.default_rng(1).normal(
+        size=(cfg.projection_dim,)).astype(np.float32))
+
+    def once():
+        fd = jnp.asarray(frames)  # re-transfer when donating
+        return np.asarray(fn(params, fd, query))
+
+    fd = None
+    if not donate:
+        fd = jnp.asarray(frames)
+        run = lambda: np.asarray(fn(params, fd, query))
+    else:
+        run = once
+    for _ in range(2):
+        run()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run()
+    return batch / ((time.perf_counter() - t0) / reps)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    grid = {
+        "batch": [128, 256, 512],
+        "dtype": ["bfloat16", "float32"],
+        "method": ["bicubic", "bilinear"],
+        "donate": [False],
+    }
+    if args.quick:
+        grid["batch"] = [256]
+        grid["dtype"] = ["bfloat16"]
+
+    rows = []
+    for batch, dtype, method, donate in itertools.product(
+            grid["batch"], grid["dtype"], grid["method"], grid["donate"]):
+        try:
+            fps = measure(batch, dtype, method, donate, reps=5)
+        except Exception as exc:  # noqa: BLE001
+            print(f"batch={batch} {dtype} {method}: FAILED {exc}")
+            continue
+        rows.append({"batch": batch, "dtype": dtype, "method": method,
+                     "fps": round(fps, 1)})
+        print(json.dumps(rows[-1]))
+    rows.sort(key=lambda r: -r["fps"])
+    print("\nbest:", json.dumps(rows[0]) if rows else "none")
+
+
+if __name__ == "__main__":
+    main()
