@@ -48,7 +48,15 @@ class ClipEngine:
         if params is not None:
             self.model = CLIPModel(self.cfg)
             self.params = params
-            self._tag = "external"
+            # fingerprint external params: two engines with different
+            # weights must not share embedding-cache entries (md5, not
+            # hash() — the cache is cross-process and hash() is salted)
+            import hashlib
+
+            leaf = np.asarray(
+                jax.tree.leaves(params)[0], np.float32).reshape(-1)[:64]
+            self._tag = ("external:"
+                         + hashlib.md5(leaf.tobytes()).hexdigest()[:8])
         elif weights_path:
             self.model = CLIPModel(self.cfg)
             self.params = load_params(weights_path)
