@@ -172,6 +172,29 @@ async def upload_video(request: web.Request) -> web.Response:
                   "format": ext, "size": size})
 
 
+async def search_library(request: web.Request) -> web.Response:
+    """Cross-video search over all cached embedding tables (no
+    reference analog — enabled by the embed-once design)."""
+    state: ApiState = request.app["state"]
+    try:
+        body = await request.json()
+    except Exception:  # noqa: BLE001
+        return _json({"detail": "invalid JSON body"}, 422)
+    q = body.get("query")
+    if not q or not isinstance(q, str):
+        return _json({"detail": "missing 'query'"}, 422)
+    from ..services.library_search import LibrarySearch
+
+    searcher = LibrarySearch(state.processor.phase1)
+    with get_monitor().track("library_search"):
+        out = await _run_blocking(
+            searcher.search, q, top_k=int(body.get("top_k", 10)),
+            threshold=body.get("threshold"),
+            per_video_k=int(body.get("per_video_k", 3)),
+            video_ids=body.get("video_ids"))
+    return _json({"status": "completed", **out})
+
+
 @_validated(QueryRequest)
 async def query(request: web.Request, req: QueryRequest) -> web.Response:
     state: ApiState = request.app["state"]
@@ -524,6 +547,7 @@ def create_app(processor=None) -> web.Application:
         web.get("/api/metrics", metrics),
         web.post("/api/upload", upload_video),
         web.post("/api/query", query),
+        web.post("/api/search-library", search_library),
         web.post("/api/unlimited-detection", unlimited_detection),
         web.post("/api/small-object-detection", small_object_detection),
         web.post("/api/background-independence", background_independence),

@@ -257,3 +257,29 @@ class TestConcurrency:
         results = api_client.loop.run_until_complete(many())
         assert all(status == 200 for status, _ in results)
         assert all(body["status"] == "completed" for _, body in results)
+
+
+class TestLibrarySearch:
+    def test_search_across_videos(self, api_client, tmp_path):
+        import aiohttp
+
+        for name in ("lib_a", "lib_b"):
+            vf = make_test_video(tmp_path / f"{name}.mp4", n_frames=30)
+            form = aiohttp.FormData()
+            form.add_field("file", open(vf, "rb"),
+                           filename=f"{name}.mp4",
+                           content_type="video/mp4")
+            api_client.post("/api/upload", data=form)
+
+        status, out = api_client.post("/api/search-library", json={
+            "query": "white square", "threshold": -1.0, "top_k": 6})
+        assert status == 200 and out["status"] == "completed"
+        assert out["metadata"]["videos_searched"] >= 2
+        vids = {r["video_id"] for r in out["results"]}
+        assert len(vids) >= 2  # hits from multiple videos
+        confs = [r["confidence"] for r in out["results"]]
+        assert confs == sorted(confs, reverse=True)
+
+    def test_search_validation(self, api_client):
+        status, _ = api_client.post("/api/search-library", json={})
+        assert status == 422
