@@ -88,11 +88,16 @@ def _fit_size(w: int, h: int, max_side: int) -> Tuple[int, int]:
 def sample_indices(total_frames: int, sample_rate: int,
                    max_frames: int) -> List[int]:
     """Reference sampling semantics (``frame_extractor.py:66-77``):
-    every Nth frame, then even redistribution under the cap."""
+    every Nth frame, then even redistribution under the cap.
+
+    The reference's redistribution (``idxs[::len//max][:max]``) silently
+    TRUNCATES the tail whenever ``max < len < 2·max`` (floor step = 1);
+    here redistribution is a true even spread across the whole video.
+    """
     idxs = list(range(0, max(total_frames, 0), max(sample_rate, 1)))
     if len(idxs) > max_frames:
-        step = len(idxs) // max_frames
-        idxs = idxs[::step][:max_frames]
+        pick = np.linspace(0, len(idxs) - 1, max_frames).round().astype(int)
+        idxs = [idxs[i] for i in pick]
     return [i for i in idxs if i < total_frames]
 
 

@@ -112,3 +112,22 @@ class TestEmbeddingCache:
         from avede_tpu.io.embedding_cache import EmbeddingCache
 
         assert EmbeddingCache(str(tmp_path)).get("nope", "t", 1) is None
+
+
+class TestLongVideo:
+    def test_frame_cap_redistribution_end_to_end(self, tmp_path):
+        """1200-frame video → capped to MAX_FRAMES with even spread
+        (reference frame_extractor.py:66-77 semantics at scale)."""
+        from tests.conftest import make_test_video
+
+        from avede_tpu.io.video_reader import VideoReader
+
+        video = make_test_video(tmp_path / "long.mp4", n_frames=1200,
+                                fps=30.0, size=(64, 48))
+        frames, ts = VideoReader().extract_frames(video)
+        assert len(frames) == 1000
+        # even spread: timestamps span the whole video
+        assert ts[0] == 0.0
+        assert ts[-1] > 1150 / 30.0 * 0.95
+        steps = np.diff([t * 30.0 for t in ts])
+        assert steps.std() < 1.0  # near-constant stride
