@@ -1,0 +1,93 @@
+"""Blocked flash attention (Pallas).
+
+Online-softmax attention with K/V streaming, for the ViT towers whose
+sequence lengths make the O(L²) score matrix worth tiling (OWL-ViT at
+768px runs 577 tokens × 12 layers; CLIP ViT-B/32 runs only 50 — XLA's
+fused attention is already fine there, which is why the model default
+stays XLA and this kernel is opt-in infrastructure, same policy as the
+fused patch embed).
+
+Grid: (batch·heads, Q blocks). Each program streams K/V blocks with the
+standard running (max, sum, accumulator) recurrence, so the full
+[L, L] score matrix never materializes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
+                  scale: float):
+    q = q_ref[0]                          # [Bq, D]
+    bq, d = q.shape
+    lk = k_ref.shape[1]
+    nk = lk // block_k
+
+    def body(i, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]      # [Bk, D]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(
+            p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False) -> jax.Array:
+    """q, k, v: [B, H, L, D] → [B, H, L, D] (non-causal, no mask).
+
+    L must be a multiple of the block sizes (pad with zero K/V rows —
+    zero-padding K/V is NOT neutral for softmax, so callers pad L to a
+    block multiple before entry; ViT token counts are static).
+    """
+    b, h, l, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    bq = min(block_q, l)
+    bk = min(block_k, l)
+    assert l % bq == 0 and l % bk == 0, (l, bq, bk)
+
+    qf = q.reshape(b * h, l, d)
+    kf = k.reshape(b * h, l, d)
+    vf = v.reshape(b * h, l, d)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=bk, scale=scale),
+        grid=(b * h, l // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, l, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, l, d)
+
+
+def attention_reference(q: jax.Array, k: jax.Array,
+                        v: jax.Array) -> jax.Array:
+    """Plain softmax attention for parity tests."""
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)

@@ -129,3 +129,33 @@ class TestQuantization:
         q_tree, s_tree, report = quantize_dense_tree(params)
         assert report["kernels_quantized"] > 10
         assert report["ratio"] < 0.5  # better than half the bytes
+
+
+class TestFlashAttention:
+    def test_matches_reference(self):
+        import jax.numpy as jnp
+        from avede_tpu.ops.attention import (attention_reference,
+                                             flash_attention)
+
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(2, 4, 64, 16)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 4, 64, 16)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 4, 64, 16)).astype(np.float32))
+        got = flash_attention(q, k, v, block_q=32, block_k=32,
+                              interpret=True)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_single_block(self):
+        import jax.numpy as jnp
+        from avede_tpu.ops.attention import (attention_reference,
+                                             flash_attention)
+
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(1, 2, 16, 8)).astype(np.float32))
+        got = flash_attention(q, q, q, block_q=16, block_k=16,
+                              interpret=True)
+        ref = attention_reference(q, q, q)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
