@@ -40,6 +40,8 @@ class MultiHeadAttention(nn.Module):
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False      # Pallas flash kernel (self-attn, no
+    # mask/causal, L divisible by its block) — opt-in for long-seq ViTs
 
     @nn.compact
     def __call__(self, x: jax.Array, kv: Optional[jax.Array] = None,
@@ -56,6 +58,21 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(t.shape[0], t.shape[1], self.num_heads, head_dim)
 
         q, k, v = split(q), split(k), split(v)
+        if (self.use_flash and mask is None and not causal
+                and q.shape[1] % 64 == 0):
+            from ..ops.attention import flash_attention
+
+            import jax as _jax
+
+            interp = _jax.devices()[0].platform in ("cpu", "gpu")
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3).astype(jnp.float32),
+                k.transpose(0, 2, 1, 3).astype(jnp.float32),
+                v.transpose(0, 2, 1, 3).astype(jnp.float32),
+                block_q=64, block_k=64, interpret=interp)
+            out = out.transpose(0, 2, 1, 3).astype(self.dtype)
+            out = out.reshape(out.shape[0], out.shape[1], self.dim)
+            return dense("out_proj")(out)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.asarray(head_dim, scores.dtype))

@@ -159,3 +159,20 @@ class TestFlashAttention:
         ref = attention_reference(q, q, q)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+    def test_mha_flash_flag_matches_einsum_path(self):
+        """MultiHeadAttention(use_flash=True) must equal the einsum
+        path for mask-free self-attention at block-divisible L."""
+        import jax
+        import jax.numpy as jnp
+        from avede_tpu.models.layers import MultiHeadAttention
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
+        base = MultiHeadAttention(32, 4)
+        params = base.init(jax.random.PRNGKey(0), x)["params"]
+        ref = base.apply({"params": params}, x)
+        flash = MultiHeadAttention(32, 4, use_flash=True)
+        got = flash.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-4, atol=3e-4)
