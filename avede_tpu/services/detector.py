@@ -66,6 +66,12 @@ class YoloService:
             max_out = settings.DETECTION_MAX_OBJECTS
             iou_thr = settings.DETECTION_IOU_THRESHOLD
 
+            # NMS over all anchors would build an A×A IoU matrix
+            # (8400² ≈ 282 MB at 640px) — pre-select top-K candidates
+            # by score first (standard practice; K ≥ max_out covers
+            # every box that could survive)
+            pre_k = max(4 * max_out, 256)
+
             @jax.jit
             def run(variables, frames_u8, conf_thr):
                 x = frames_u8.astype(jnp.float32) / 255.0
@@ -82,11 +88,17 @@ class YoloService:
                 boxes = boxes * jnp.asarray([sx, sy, sx, sy])
                 masked = jnp.where(score >= conf_thr, score, -jnp.inf)
 
+                k = min(pre_k, masked.shape[1])
+                top_s, top_i = jax.lax.top_k(masked, k)
+                top_b = jnp.take_along_axis(boxes, top_i[..., None],
+                                            axis=1)
+                top_l = jnp.take_along_axis(label, top_i, axis=1)
+
                 def one(b, s, l):
                     return nms_per_class(b, s, l.astype(jnp.int32),
                                          iou_thr, max_out)
 
-                return jax.vmap(one)(boxes, masked, label)
+                return jax.vmap(one)(top_b, top_s, top_l)
 
             self._fns[shape] = run
         return self._fns[shape]

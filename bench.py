@@ -133,8 +133,11 @@ def bench_yolo() -> None:
         score = jnp.max(cls, axis=-1)
         label = jnp.argmax(cls, axis=-1)
         masked = jnp.where(score >= 0.25, score, -jnp.inf)
+        top_s, top_i = jax.lax.top_k(masked, min(400, masked.shape[1]))
+        top_b = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
+        top_l = jnp.take_along_axis(label, top_i, axis=1)
         return jax.vmap(lambda b, s, l: nms_per_class(
-            b, s, l.astype(jnp.int32), 0.45, 100))(boxes, masked, label)
+            b, s, l.astype(jnp.int32), 0.45, 100))(top_b, top_s, top_l)
 
     fd = jnp.asarray(frames)
     for _ in range(2):
