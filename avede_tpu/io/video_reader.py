@@ -188,6 +188,31 @@ class VideoReader:
                                    interpolation=cv2.INTER_AREA)
         return cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
 
+    def read_frames_at(self, path: str,
+                       timestamps: List[float]) -> np.ndarray:
+        """Batch variant of ``read_frame_at``: one capture, seek per
+        timestamp (phase-2 reads K candidate frames; K opens would
+        dominate)."""
+        import cv2
+
+        meta = probe_video(path)
+        tw, th = _fit_size(meta.width, meta.height, self.max_side)
+        out = np.zeros((len(timestamps), th, tw, 3), np.uint8)
+        cap = cv2.VideoCapture(str(path))
+        if not cap.isOpened():
+            raise VideoDecodeError(f"cannot open video: {path}")
+        try:
+            for n, t in enumerate(timestamps):
+                idx = min(max(int(round(t * meta.fps)), 0),
+                          max(meta.total_frames - 1, 0))
+                cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+                ok, frame = cap.read()
+                if ok:
+                    out[n] = self._convert(frame, tw, th)
+        finally:
+            cap.release()
+        return out
+
     def read_frame_at(self, path: str, timestamp: float) -> np.ndarray:
         """Single frame at a timestamp (RGB uint8, resized)."""
         import cv2

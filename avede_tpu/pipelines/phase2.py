@@ -56,10 +56,9 @@ class Phase2Rerank:
         if not candidates:
             return []
 
-        # read ONLY the candidate middle frames
-        frames = np.stack([
-            self.phase1.reader.read_frame_at(video_path, c["timestamp"])
-            for c in candidates])
+        # read ONLY the candidate middle frames (one capture, K seeks)
+        frames = self.phase1.reader.read_frames_at(
+            video_path, [c["timestamp"] for c in candidates])
         # reranker: BLIP captions + CLIP text similarity, or BLIP-2
         # Q-Former ITC scores (services/captioner.make_reranker)
         cap_sim, aux = self.captioner.rerank_scores(frames, query)
