@@ -78,9 +78,10 @@ class CrossDomainMatcher:
             f = self.extract_features(frame)
             sims = {k: max(F.cosine_sim(ref_feats[k], f[k]), 0.0)
                     for k in ("lbp", "hog", "edges", "texture")}
-            orb_a, _ = F.orb_match_score(ref_feats["_image"], f["_image"])
+            orb_a, _ = F.orb_match_score(ref_feats["_image"], f["_image"], 500)
+            orb_b, _ = F.orb_match_score(ref_feats["_image"], f["_image"], 1000)
             sims["orb"] = orb_a
-            sims["orb2"] = orb_a
+            sims["orb2"] = orb_b
             combined = sum(FUSION_WEIGHTS[k] * sims[k]
                            for k in FUSION_WEIGHTS)
             if combined >= threshold:

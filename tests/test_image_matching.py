@@ -92,6 +92,21 @@ class TestCrossDomain:
         best = max(hits, key=lambda h: h["similarity"])
         assert best["frame_index"] == 1
 
+    def test_batch_path_computes_second_orb_scale(self, imgs):
+        """Regression: batch path must compute orb2 at the 1000-feature
+        scale like compute_similarity, not duplicate orb (r1 weak #7)."""
+        from avede_tpu.services.cross_domain_matcher import \
+            CrossDomainMatcher
+
+        base, noisy, other = imgs
+        m = CrossDomainMatcher()
+        hits = m.match_against_frames(base, np.stack([noisy, other]),
+                                      threshold=0.0)
+        ref = m.compute_similarity(base, noisy)
+        got = next(h for h in hits if h["frame_index"] == 0)["breakdown"]
+        assert got["orb"] == pytest.approx(ref["orb"], abs=1e-6)
+        assert got["orb2"] == pytest.approx(ref["orb2"], abs=1e-6)
+
 
 @pytest.fixture(scope="module")
 def matcher_stack(tmp_path_factory):
