@@ -243,7 +243,8 @@ async def small_object_detection(request: web.Request,
             top_k=req.top_k,
             enable_background_independence=req.enable_background_independence,
             enable_adaptive_thresholds=req.enable_adaptive_thresholds,
-            enable_rpn=req.enable_rpn)
+            enable_rpn=req.enable_rpn,
+            detection_mode=req.detection_mode)
     return _json(out, 200 if out.get("status") != "error" else 500)
 
 

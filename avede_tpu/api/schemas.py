@@ -45,6 +45,7 @@ class SmallObjectDetectionRequest(BaseModel):
     max_object_size: Optional[int] = 128
     confidence_threshold: Optional[float] = 0.2
     top_k: Optional[int] = 20
+    detection_mode: str = "clip"       # clip | owlvit | yolo_enhanced | hybrid
     debug_mode: bool = False
 
 

@@ -121,31 +121,55 @@ class VideoReader:
         passes ``sample_rate=`` into an API that rejects it — a latent
         TypeError), per-call sampling overrides are supported here.
         """
+        chunks = list(self.stream_frames(path, sample_rate=sample_rate,
+                                         max_frames=max_frames,
+                                         chunk=1 << 30))
+        frames = np.concatenate([c for c, _ in chunks], axis=0)
+        timestamps = [t for _, ts in chunks for t in ts]
+        return frames, timestamps
+
+    def stream_frames(self, path: str, chunk: int = 256,
+                      sample_rate: Optional[int] = None,
+                      max_frames: Optional[int] = None):
+        """Generator of (uint8 [c, H, W, 3] RGB, timestamps) chunks,
+        yielded AS the video decodes — the host side of the
+        decode↔embed overlap (``ClipEngine.embed_stream`` consumes this
+        through ``parallel/prefetch.prefetch_to_device`` so the device
+        computes chunk *i* while the host decodes chunk *i+1*)."""
         import cv2
 
         from ..utils.memory import decode_budget
 
         meta = probe_video(path)
         rate = sample_rate or self.sample_rate
-        cap = max_frames or self.max_frames
-        tw0, th0 = _fit_size(meta.width, meta.height, self.max_side)
-        cap, rate = decode_budget(cap, (th0, tw0), rate)
-        idxs = sample_indices(meta.total_frames, rate, cap)
+        fcap = max_frames or self.max_frames
+        tw, th = _fit_size(meta.width, meta.height, self.max_side)
+        fcap, rate = decode_budget(fcap, (th, tw), rate)
+        idxs = sample_indices(meta.total_frames, rate, fcap)
         if not idxs:
             raise VideoDecodeError(
                 f"no sampleable frames in {path} (total={meta.total_frames})")
 
-        tw, th = _fit_size(meta.width, meta.height, self.max_side)
         cap = cv2.VideoCapture(str(path))
         if not cap.isOpened():
             raise VideoDecodeError(f"cannot open video: {path}")
-        frames = np.empty((len(idxs), th, tw, 3), dtype=np.uint8)
+        buf: List[np.ndarray] = []
+        buf_ts: List[float] = []
+        total = 0
         try:
             want = set(idxs)
-            order = {idx: n for n, idx in enumerate(idxs)}
             # sequential scan beats per-frame seeking for dense sampling;
             # seek only when gaps are large.
-            dense = len(idxs) > meta.total_frames / 20 if meta.total_frames else True
+            dense = (len(idxs) > meta.total_frames / 20
+                     if meta.total_frames else True)
+
+            def emit():
+                nonlocal buf, buf_ts, total
+                out = np.stack(buf), list(buf_ts)
+                total += len(buf)
+                buf, buf_ts = [], []
+                return out
+
             if dense:
                 pos = 0
                 got = 0
@@ -154,30 +178,31 @@ class VideoReader:
                     if not ok:
                         break
                     if pos in want:
-                        frames[order[pos]] = self._convert(frame, tw, th)
+                        buf.append(self._convert(frame, tw, th))
+                        buf_ts.append(float(pos) / meta.fps)
                         got += 1
+                        if len(buf) >= chunk:
+                            yield emit()
                     pos += 1
-                if got < len(idxs):
-                    idxs = idxs[:got]
-                    frames = frames[:got]
             else:
-                for n, idx in enumerate(idxs):
+                for idx in idxs:
                     cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
                     ok, frame = cap.read()
                     if not ok:
-                        idxs = idxs[:n]
-                        frames = frames[:n]
                         break
-                    frames[n] = self._convert(frame, tw, th)
+                    buf.append(self._convert(frame, tw, th))
+                    buf_ts.append(float(idx) / meta.fps)
+                    if len(buf) >= chunk:
+                        yield emit()
+            if buf:
+                yield emit()
         finally:
             cap.release()
 
-        if len(idxs) == 0:
+        if total == 0:
             raise VideoDecodeError(f"decoded zero frames from {path}")
-        timestamps = [float(i) / meta.fps for i in idxs]
         logger.info("Extracted %d frames from %s (%dx%d, fps=%.2f)",
-                    len(idxs), path, tw, th, meta.fps)
-        return frames, timestamps
+                    total, path, tw, th, meta.fps)
 
     @staticmethod
     def _convert(frame_bgr: np.ndarray, tw: int, th: int) -> np.ndarray:

@@ -43,6 +43,7 @@ class CLIPConfig:
     projection_dim: int = 512
     ln_eps: float = 1e-5
     dtype: str = "float32"
+    use_flash: bool = False   # Pallas flash attention in the vision tower
 
     @property
     def grid(self) -> int:
@@ -107,7 +108,8 @@ class CLIPVisionEncoder(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=dt, name="pre_layernorm")(x)
         x = Transformer(cfg.vision_dim, cfg.vision_depth, cfg.vision_heads,
                         mlp_ratio=4.0, activation="quick_gelu",
-                        ln_eps=cfg.ln_eps, dtype=dt, name="encoder")(x)
+                        ln_eps=cfg.ln_eps, dtype=dt,
+                        use_flash=cfg.use_flash, name="encoder")(x)
         pooled = x[:, 0, :]
         pooled = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=dt,
                               name="post_layernorm")(pooled)

@@ -58,8 +58,7 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(t.shape[0], t.shape[1], self.num_heads, head_dim)
 
         q, k, v = split(q), split(k), split(v)
-        if (self.use_flash and mask is None and not causal
-                and q.shape[1] % 64 == 0):
+        if self.use_flash and mask is None and not causal:
             from ..ops.attention import flash_attention
 
             import jax as _jax
@@ -113,6 +112,7 @@ class TransformerBlock(nn.Module):
     activation: str = "quick_gelu"
     ln_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None,
@@ -120,6 +120,7 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                          name="layer_norm1")(x)
         x = x + MultiHeadAttention(self.dim, self.num_heads, self.dtype,
+                                   use_flash=self.use_flash,
                                    name="self_attn")(h, mask=mask, causal=causal)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                          name="layer_norm2")(x)
@@ -140,6 +141,7 @@ class Transformer(nn.Module):
     ln_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None,
@@ -150,6 +152,7 @@ class Transformer(nn.Module):
         for i in range(self.depth):
             blk = block_cls(self.dim, self.num_heads, self.mlp_ratio,
                             self.activation, self.ln_eps, self.dtype,
+                            self.use_flash,
                             name=f"layers_{i}")
             x = blk(x, mask, causal) if not self.remat else blk(x, mask, causal)
         return x

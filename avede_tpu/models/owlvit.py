@@ -46,6 +46,7 @@ class OwlViTConfig:
     projection_dim: int = 512
     ln_eps: float = 1e-5
     dtype: str = "float32"
+    use_flash: bool = False   # Pallas flash attention (577-token ViT)
 
     @property
     def grid(self) -> int:
@@ -96,6 +97,7 @@ class OwlVisionEncoder(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=dt,
                          name="pre_layernorm")(x)
         x = Transformer(cfg.vision_dim, cfg.vision_depth, cfg.vision_heads,
+                        use_flash=cfg.use_flash,
                         mlp_ratio=4.0, activation="quick_gelu",
                         ln_eps=cfg.ln_eps, dtype=dt, name="encoder")(x)
         return nn.LayerNorm(epsilon=cfg.ln_eps, dtype=dt,

@@ -4,12 +4,16 @@ Online-softmax attention with K/V streaming, for the ViT towers whose
 sequence lengths make the O(L²) score matrix worth tiling (OWL-ViT at
 768px runs 577 tokens × 12 layers; CLIP ViT-B/32 runs only 50 — XLA's
 fused attention is already fine there, which is why the model default
-stays XLA and this kernel is opt-in infrastructure, same policy as the
-fused patch embed).
+stays XLA and this kernel is opt-in via ``use_flash`` on the configs,
+same measure-first policy as the fused patch embed).
 
 Grid: (batch·heads, Q blocks). Each program streams K/V blocks with the
 standard running (max, sum, accumulator) recurrence, so the full
-[L, L] score matrix never materializes.
+[L, L] score matrix never materializes. Arbitrary L is supported: the
+wrapper pads L to a block multiple and the kernel masks padded K
+columns with −inf before the online softmax (ViT's L = G²+1 is never
+block-aligned, so tail masking is what makes the kernel usable at all
+— round-1 verdict item 5).
 """
 
 from __future__ import annotations
@@ -23,7 +27,7 @@ from jax.experimental import pallas as pl
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
-                  scale: float):
+                  scale: float, l_true: int):
     q = q_ref[0]                          # [Bq, D]
     bq, d = q.shape
     lk = k_ref.shape[1]
@@ -34,6 +38,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
         k = k_ref[0, pl.ds(i * block_k, block_k), :]      # [Bk, D]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        # mask K columns beyond the true sequence length (the wrapper
+        # zero-pads K/V to a block multiple; zeros are NOT softmax-
+        # neutral, so they must be −inf'd here)
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                + i * block_k)
+        s = jnp.where(cols < l_true, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -56,32 +66,36 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     interpret: bool = False) -> jax.Array:
     """q, k, v: [B, H, L, D] → [B, H, L, D] (non-causal, no mask).
 
-    L must be a multiple of the block sizes (pad with zero K/V rows —
-    zero-padding K/V is NOT neutral for softmax, so callers pad L to a
-    block multiple before entry; ViT token counts are static).
+    Any L: inputs are zero-padded to a block multiple; padded K columns
+    are masked −inf in-kernel, padded Q rows are sliced off on return.
     """
     b, h, l, d = q.shape
     scale = 1.0 / (d ** 0.5)
-    bq = min(block_q, l)
-    bk = min(block_k, l)
-    assert l % bq == 0 and l % bk == 0, (l, bq, bk)
+    bq = min(block_q, max(((l + 63) // 64) * 64, 64))
+    bk = min(block_k, max(((l + 63) // 64) * 64, 64))
+    lp = ((l + max(bq, bk) - 1) // max(bq, bk)) * max(bq, bk)
 
-    qf = q.reshape(b * h, l, d)
-    kf = k.reshape(b * h, l, d)
-    vf = v.reshape(b * h, l, d)
+    def flat_pad(t):
+        t = t.reshape(b * h, l, d)
+        if lp != l:
+            t = jnp.pad(t, ((0, 0), (0, lp - l), (0, 0)))
+        return t
+
+    qf, kf, vf = flat_pad(q), flat_pad(k), flat_pad(v)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=bk, scale=scale),
-        grid=(b * h, l // bq),
+        functools.partial(_flash_kernel, block_k=bk, scale=scale,
+                          l_true=l),
+        grid=(b * h, lp // bq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, lp, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, lp, d), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, l, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, lp, d), q.dtype),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(b, h, l, d)
+    return out[:, :l].reshape(b, h, l, d)
 
 
 def attention_reference(q: jax.Array, k: jax.Array,

@@ -1,19 +1,23 @@
 """Pallas TPU kernels for the hot ops.
 
-``fused_patch_embed`` — the BASELINE.json north-star fusion: raw uint8
-frames go in, CLIP patch embeddings come out, in ONE kernel:
+``fused_patch_embed`` — the BASELINE.json north-star fusion:
 
     uint8 → float → /255 → (x-mean)/std → 32×32 patchify → matmul(W)+b
 
 The normalization affine and the 1/255 rescale are folded into the
-patch-projection weights algebraically (see ``ops/preprocess.
-fold_normalization``), so the kernel is a relayout + one MXU matmul per
-image — the [N,S,S,3] float intermediate the XLA path materializes in
-HBM never exists.
+patch-projection weights algebraically (``fold_for_uint8``), so the
+NORMALIZED-float image tensor never exists anywhere. Division of labor
+(measured, not aspirational): XLA performs the patchify relayout — the
+[N, G·G, P·P·3] float view DOES round-trip HBM, because Mosaic cannot
+lower the 5-D transposing reshape in-kernel and a C=3 lane layout makes
+any in-kernel relayout VPU-hostile — and the Pallas kernel runs the
+folded projection matmul. On v5e the plain XLA conv path still won
+round 1 (4617 vs 4257 fps), so ``settings.USE_PALLAS`` defaults False;
+``tools/pallas_sweep.py`` re-measures all variants on real hardware and
+is the only thing that should flip that default.
 
 Grid: one program per image. Weights ([P·P·3, D]) live in VMEM across
-the whole grid (ViT-B/32: 3072×768 bf16 ≈ 4.5 MB). The patchify
-relayout happens on the VPU from the image block in VMEM.
+the whole grid (ViT-B/32: 3072×768 bf16 ≈ 4.5 MB).
 
 All kernels run in interpret mode on CPU (tests) and compiled on TPU.
 """

@@ -74,6 +74,7 @@ class ClipEngine:
         self._image_fns: Dict[Tuple[int, int, int], object] = {}
         self._text_fn = None
         self._px_fn = None
+        self._batcher = None
         # concurrent API requests share one engine; building jitted fns
         # must not race (the reference guards model loads the same way,
         # universal_detector.py:118)
@@ -155,6 +156,36 @@ class ClipEngine:
         result = np.concatenate(outs, axis=0)
         return result
 
+    def embed_stream(self, chunks) -> np.ndarray:
+        """Overlapped decode→embed: consume an iterator of uint8
+        ``[c, H, W, 3]`` chunks (``VideoReader.stream_frames``), staging
+        pad + host→device transfer on a prefetch thread
+        (``parallel/prefetch.py``) while the device embeds the previous
+        chunk (dispatch is async; only the final materialization
+        blocks). Fixed chunk size → at most two compiled shapes."""
+        from .prefetch import prefetch_to_device
+
+        lens: List[int] = []
+
+        def pad(part: np.ndarray) -> jnp.ndarray:
+            bucket = self.mesh.pad_to_data(
+                pick_bucket(len(part), settings.FRAME_BUCKETS))
+            padded = np.zeros((bucket,) + part.shape[1:], np.uint8)
+            padded[: len(part)] = part
+            lens.append(len(part))
+            return jnp.asarray(padded)
+
+        outs: List[jax.Array] = []
+        for dev_chunk in prefetch_to_device(chunks, buffer_size=2,
+                                            sharding=self.mesh.data_sharded,
+                                            transform=pad):
+            outs.append(self._image_fn(dev_chunk.shape[1:])(
+                self.params, dev_chunk))
+        if not outs:
+            return np.zeros((0, self.cfg.projection_dim), np.float32)
+        return np.concatenate([np.asarray(e[:n], np.float32)
+                               for e, n in zip(outs, lens)], axis=0)
+
     def embed_frames_device(self, frames: np.ndarray) -> jax.Array:
         """Like ``embed_frames`` but keeps the (padded) result on device;
         returns (embeddings [B, D], valid mask [B])."""
@@ -186,11 +217,12 @@ class ClipEngine:
                           np.float32)
 
     def embed_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
-        """Convenience for reference images of heterogeneous sizes: each
-        is preprocessed independently (host-side resize to the model
-        square), then batched through one jitted encoder call. The
-        jitted fn is cached per batch-size bucket — a fresh ``jax.jit``
-        per call would recompile every time."""
+        """Convenience for reference images / crops of heterogeneous
+        sizes: each is preprocessed independently (host-side resize to
+        the model square), then batched through one jitted encoder
+        call. Under concurrent API load the calls coalesce through a
+        ``BatchingExecutor`` (``parallel/scheduler.py``) so many small
+        crop batches share one MXU dispatch."""
         if len(images) == 0:
             return np.zeros((0, self.cfg.projection_dim), np.float32)
         size = self.cfg.image_size
@@ -199,21 +231,47 @@ class ClipEngine:
                 np.ascontiguousarray(img)[None].astype(np.uint8),
                 size=size))[0]
             for img in images])
+        if settings.BATCHING_EXECUTOR_ENABLED:
+            return self._pixel_batcher()(batch)
+        return self.embed_pixels(batch)
+
+    def embed_pixels(self, batch: np.ndarray) -> np.ndarray:
+        """Preprocessed float [N, S, S, 3] → unit-norm [N, D] (padded
+        to a bucket; the batched-fn target of the BatchingExecutor)."""
         n = len(batch)
+        if n == 0:
+            return np.zeros((0, self.cfg.projection_dim), np.float32)
+        size = self.cfg.image_size
         bucket = 1 if n == 1 else pick_bucket(n, [4, 16, 64, 256])
         padded = np.zeros((bucket, size, size, 3), np.float32)
         padded[:n] = batch
         if self._px_fn is None:
-            model = self.model
+            with self._lock:
+                if self._px_fn is None:
+                    model = self.model
 
-            @jax.jit
-            def run(params, px):
-                return model.apply({"params": params}, px,
-                                   method=model.encode_image)
+                    @jax.jit
+                    def run(params, px):
+                        return model.apply({"params": params}, px,
+                                           method=model.encode_image)
 
-            self._px_fn = run
+                    self._px_fn = run
         out = self._px_fn(self.params, jnp.asarray(padded))
         return np.asarray(out[:n], np.float32)
+
+    def _pixel_batcher(self):
+        """Lazily-built request coalescer over ``embed_pixels``."""
+        if self._batcher is None:
+            with self._lock:
+                if self._batcher is None:
+                    from .scheduler import BatchingExecutor
+
+                    self._batcher = BatchingExecutor(
+                        self.embed_pixels,
+                        max_batch=settings.EMBED_BATCH_PER_DEVICE
+                        * self.mesh.n_data,
+                        max_wait_ms=settings.BATCHING_MAX_WAIT_MS)
+        return self._batcher
 
 
 _DEFAULT: Optional[ClipEngine] = None

@@ -30,6 +30,7 @@ from ..ops.preprocess import clip_preprocess
 from ..parallel.embed import ClipEngine
 from ..utils.config import settings
 from ..utils.logging import get_logger
+from ..utils.trace import trace
 
 logger = get_logger(__name__)
 
@@ -109,9 +110,10 @@ class YoloService:
         (bbox xyxy px, confidence, class_id, class_name)."""
         if len(frames) == 0:
             return []
-        ob, os, oc, valid = self._fn(frames.shape[1:])(
-            self.variables, jnp.asarray(frames),
-            jnp.float32(conf_threshold))
+        with trace("yolo.detect"):
+            ob, os, oc, valid = self._fn(frames.shape[1:])(
+                self.variables, jnp.asarray(frames),
+                jnp.float32(conf_threshold))
         ob, os, oc, valid = (np.asarray(ob), np.asarray(os),
                              np.asarray(oc), np.asarray(valid))
         out: List[List[Dict]] = []

@@ -159,12 +159,37 @@ def _cos(a: Optional[np.ndarray], b: Optional[np.ndarray]) -> Optional[float]:
 # ---------------------------------------------------------------------------
 
 class PersonDetector:
-    """Person boxes + per-person features (face/body/visual)."""
+    """Person boxes + per-person features (face/body/visual).
 
-    def __init__(self, engine: ClipEngine, yolo=None) -> None:
+    The 0.6-weight identity feature ("face") is a LEARNED appearance
+    embedding when one is available (``models/appearance.py``, trained
+    by ``eval.py --mode person`` or loaded from
+    ``settings.APPEARANCE_WEIGHTS``) and degrades to the reference's
+    own geometric gray-crop fallback otherwise."""
+
+    def __init__(self, engine: ClipEngine, yolo=None,
+                 appearance=None) -> None:
         self.engine = engine
         self._yolo = yolo
         self._yn = self._load_face_yn()
+        self.appearance = appearance or self._load_appearance()
+
+    @staticmethod
+    def _load_appearance():
+        """Trained re-ID encoder gated on settings.APPEARANCE_WEIGHTS."""
+        path = getattr(settings, "APPEARANCE_WEIGHTS", None)
+        if path and Path(path).exists():
+            try:
+                from ..models.appearance import AppearanceEmbedder
+                from ..models.convert import load_params
+
+                emb = AppearanceEmbedder(params=load_params(path))
+                logger.info("Appearance re-ID encoder loaded from %s", path)
+                return emb
+            except Exception:  # noqa: BLE001
+                logger.warning("Appearance encoder load failed; geometric "
+                               "identity fallback in use")
+        return None
 
     @property
     def yolo(self):
@@ -226,12 +251,31 @@ class PersonDetector:
         norm = normalize_lighting(frame)
         visual = extract_object_embeddings(self.engine, norm, bboxes) \
             if bboxes else np.zeros((0, self.engine.cfg.projection_dim))
+        identity = None
+        if self.appearance is not None and bboxes:
+            # embed the HEAD region with the same geometry the encoder
+            # trains on (utils/synthetic.head_crop) — identity lives
+            # there, clothing doesn't. RAW frame, not the
+            # lighting-normalized one: gray-world white balance shifts
+            # identity hues (skin/hair) with the scene palette, and the
+            # encoder already learned lighting invariance in training.
+            from ..utils.synthetic import head_crop
+
+            crops = [head_crop(frame, b) for b in bboxes]
+            ok = [c.size > 0 and min(c.shape[:2]) >= 4 for c in crops]
+            emb = self.appearance.embed(
+                [c for c, k in zip(crops, ok) if k])
+            identity, j = [], 0
+            for k in ok:
+                identity.append(emb[j] if k else None)
+                j += k
         out = []
-        for bbox, vis in zip(bboxes, visual):
+        for i, (bbox, vis) in enumerate(zip(bboxes, visual)):
             fb = self.find_faces(norm, bbox)
             out.append({
                 "bbox": bbox,
-                "face": face_feature(crop(norm, fb)),
+                "face": (identity[i] if identity is not None
+                         else face_feature(crop(norm, fb))),
                 "body": body_feature(crop(norm, bbox), bbox),
                 "visual": vis,
             })

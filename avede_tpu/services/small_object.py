@@ -64,11 +64,11 @@ class SmallObjectService:
                         conf_threshold: float = 0.2,
                         enable_rpn: bool = True,
                         context: Optional[DetectionContext] = None,
-                        enable_adaptive_thresholds: bool = True
-                        ) -> List[Dict]:
+                        enable_adaptive_thresholds: bool = True,
+                        detection_mode: str = "clip") -> List[Dict]:
         tiles, offsets = tile_frame(frame, self.tile, self.overlap)
         dets_per_tile = self.detector.detect_unlimited_objects(
-            tiles, list(queries), detection_mode="clip",
+            tiles, list(queries), detection_mode=detection_mode,
             conf_threshold=conf_threshold, adaptive=False)
         dets: List[Dict] = []
         for t, tile_dets in enumerate(dets_per_tile):
@@ -113,7 +113,8 @@ class SmallObjectService:
                         enable_adaptive_thresholds: bool = True,
                         enable_rpn: bool = True,
                         sample_rate: Optional[int] = None,
-                        video_id: Optional[str] = None) -> Dict:
+                        video_id: Optional[str] = None,
+                        detection_mode: str = "clip") -> Dict:
         t0 = time.time()
         self.proposals.reset()
         frames, timestamps = self.reader.extract_frames(
@@ -130,7 +131,8 @@ class SmallObjectService:
             dets = self.detect_in_frame(
                 frame, queries, conf_threshold=confidence_threshold,
                 enable_rpn=enable_rpn, context=ctx,
-                enable_adaptive_thresholds=enable_adaptive_thresholds)
+                enable_adaptive_thresholds=enable_adaptive_thresholds,
+                detection_mode=detection_mode)
             stats["tiles_processed"] += len(
                 tile_frame(frame, self.tile, self.overlap)[1])
             for d in dets:

@@ -30,6 +30,7 @@ from ..ops.preprocess import clip_preprocess
 from ..parallel.embed import ClipEngine
 from ..utils.config import settings
 from ..utils.logging import get_logger
+from ..utils.trace import trace
 from .adaptive_threshold import AdaptiveThresholdSystem, DetectionContext
 from .detector import ClipGridDetector, YoloService
 
@@ -99,9 +100,10 @@ class UniversalDetector:
         if len(frames) == 0:
             return []
         ids = self.owl_tokenizer(list(queries))
-        ob, os_, valid, qidx_all = self._owl_fn(frames.shape[1:])(
-            self.owl_params, jnp.asarray(frames), jnp.asarray(ids),
-            jnp.float32(conf_threshold))
+        with trace("owlvit.detect"):
+            ob, os_, valid, qidx_all = self._owl_fn(frames.shape[1:])(
+                self.owl_params, jnp.asarray(frames), jnp.asarray(ids),
+                jnp.float32(conf_threshold))
         ob, os_, valid = np.asarray(ob), np.asarray(os_), np.asarray(valid)
         qidx_all = np.asarray(qidx_all)
         h, w = frames.shape[1:3]

@@ -60,9 +60,13 @@ class Settings(BaseModel):
     FEATURE_EXTRACTOR_WEIGHTS: Optional[str] = None
     TOKENIZER_VOCAB: Optional[str] = None   # path to CLIP BPE merges file
     FACE_MODEL_PATH: Optional[str] = None   # cv2 FaceDetectorYN onnx (optional)
+    APPEARANCE_WEIGHTS: Optional[str] = None  # trained re-ID encoder .npz
 
     # --- Inference knobs (reference config.py:37-40) ---
     BATCH_SIZE: int = 32
+    BATCHING_EXECUTOR_ENABLED: bool = True  # coalesce concurrent crop embeds
+    BATCHING_MAX_WAIT_MS: float = 4.0
+    STREAM_CHUNK_FRAMES: int = 256          # decode→embed overlap chunk
     TOP_K_RESULTS: int = 15
     CONFIDENCE_THRESHOLD: float = 0.25
     CLIP_DURATION: float = 30.0             # seconds per extracted clip

@@ -1,0 +1,175 @@
+"""Synthetic ground-truth generators for capability evaluation.
+
+The reference proves its capabilities with synthetic media too (its
+root harness draws a person silhouette in 8 background/color variants
+and writes an mp4, ``/root/reference/test_enhanced_matching.py:52-153``).
+These generators are shared by ``eval.py``, the test suite and
+``capability_report.py`` so detection/person metrics are measured
+against exact ground truth:
+
+- ``draw_shape_scene``  — frames with 1..K colored shapes + gt boxes
+  (detection training/eval);
+- ``draw_person``       — procedural person whose IDENTITY features
+  (skin tone, hair color/shape, eye spacing, build) are fixed per
+  identity while nuisance (background, clothing color, lighting,
+  position) varies per view (re-ID training/eval).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+SHAPE_CLASSES = ["square", "circle", "triangle", "stripe"]
+SHAPE_COLORS = [(220, 40, 40), (40, 200, 60), (50, 80, 220),
+                (230, 220, 40)]
+
+
+def draw_shape_scene(rng: np.random.Generator, size: int = 64,
+                     max_boxes: int = 3,
+                     min_r: int = 5, max_r: int = 11
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray]:
+    """→ (img uint8 [S,S,3], boxes [M,4] xyxy, labels [M], mask [M])."""
+    import cv2
+
+    img = rng.integers(20, 60, (size, size, 3)).astype(np.uint8)
+    n = int(rng.integers(1, max_boxes + 1))
+    boxes = np.zeros((max_boxes, 4), np.float32)
+    labels = np.zeros((max_boxes,), np.int32)
+    mask = np.zeros((max_boxes,), bool)
+    for i in range(n):
+        r = int(rng.integers(min_r, max_r))
+        cx = int(rng.integers(r + 2, size - r - 2))
+        cy = int(rng.integers(r + 2, size - r - 2))
+        cls = int(rng.integers(0, len(SHAPE_CLASSES)))
+        color = SHAPE_COLORS[cls]
+        if cls == 0:
+            cv2.rectangle(img, (cx - r, cy - r), (cx + r, cy + r),
+                          color, -1)
+        elif cls == 1:
+            cv2.circle(img, (cx, cy), r, color, -1)
+        elif cls == 2:
+            pts = np.array([[cx, cy - r], [cx - r, cy + r],
+                            [cx + r, cy + r]])
+            cv2.fillPoly(img, [pts], color)
+        else:
+            cv2.rectangle(img, (cx - r, cy - 3), (cx + r, cy + 3),
+                          color, -1)
+        boxes[i] = [cx - r, cy - r, cx + r, cy + r]
+        labels[i] = cls
+        mask[i] = True
+    return img, boxes, labels, mask
+
+
+def make_identity(rng: np.random.Generator) -> Dict:
+    """Identity-defining parameters (held fixed across views)."""
+    return {
+        "skin": tuple(int(v) for v in
+                      (rng.integers(160, 230), rng.integers(120, 190),
+                       rng.integers(90, 160))),
+        "hair": tuple(int(v) for v in rng.integers(10, 120, 3)),
+        "hair_h": float(rng.uniform(0.18, 0.42)),   # fringe depth
+        "eye_dx": float(rng.uniform(0.16, 0.30)),   # eye spacing
+        "head_aspect": float(rng.uniform(0.75, 1.0)),
+        "build": float(rng.uniform(0.5, 0.95)),     # shoulder width frac
+    }
+
+
+def draw_person(identity: Dict, rng: np.random.Generator,
+                frame_hw: Tuple[int, int] = (128, 128),
+                center: Optional[Tuple[int, int]] = None,
+                person_h: Optional[int] = None
+                ) -> Tuple[np.ndarray, List[float]]:
+    """One VIEW of an identity → (frame uint8 [H,W,3], person bbox).
+
+    Nuisance per view: background texture/level, clothing color,
+    brightness, position, scale jitter.
+    """
+    import cv2
+
+    H, W = frame_hw
+    bg_level = int(rng.integers(30, 160))
+    frame = np.clip(bg_level
+                    + rng.integers(-25, 25, (H, W, 3)), 0, 255
+                    ).astype(np.uint8)
+    ph = person_h or int(rng.integers(int(H * 0.55), int(H * 0.8)))
+    pw = int(ph * 0.45)
+    cx = (center[0] if center
+          else int(rng.integers(pw // 2 + 2, W - pw // 2 - 2)))
+    cy = (center[1] if center
+          else int(rng.integers(ph // 2 + 2, H - ph // 2 - 2)))
+    x0, y0 = cx - pw // 2, cy - ph // 2
+    x1, y1 = x0 + pw, y0 + ph
+
+    head_h = int(ph * 0.22)
+    head_w = int(head_h * identity["head_aspect"])
+    hx, hy = cx, y0 + head_h // 2
+    clothing = tuple(int(v) for v in rng.integers(30, 230, 3))
+
+    # torso (clothing — nuisance)
+    tw = int(pw * identity["build"])
+    cv2.rectangle(frame, (cx - tw // 2, y0 + head_h),
+                  (cx + tw // 2, y1 - int(ph * 0.3)), clothing, -1)
+    # legs (clothing 2)
+    legc = tuple(int(v) for v in rng.integers(30, 230, 3))
+    cv2.rectangle(frame, (cx - tw // 3, y1 - int(ph * 0.3)),
+                  (cx + tw // 3, y1), legc, -1)
+    # head (identity: skin, aspect)
+    cv2.ellipse(frame, (hx, hy), (head_w // 2, head_h // 2), 0, 0, 360,
+                identity["skin"], -1)
+    # hair (identity: color, fringe depth)
+    fh = int(head_h * identity["hair_h"])
+    cv2.ellipse(frame, (hx, hy - head_h // 2 + fh // 2),
+                (head_w // 2, max(fh // 2, 1)), 0, 180, 360,
+                identity["hair"], -1)
+    # eyes (identity: spacing)
+    ex = int(head_w * identity["eye_dx"])
+    for sx in (-ex, ex):
+        cv2.circle(frame, (hx + sx, hy), max(head_h // 12, 1),
+                   (20, 20, 20), -1)
+
+    # lighting nuisance: global gain
+    gain = float(rng.uniform(0.7, 1.3))
+    frame = np.clip(frame.astype(np.float32) * gain, 0, 255
+                    ).astype(np.uint8)
+    return frame, [float(x0), float(y0), float(x1), float(y1)]
+
+
+def head_crop(frame: np.ndarray, bbox: List[float]) -> np.ndarray:
+    """Head region of a person box (top ~28%, horizontally centered) —
+    where identity lives; clothing (nuisance) is excluded. Mirrors
+    ``services/person_detector.face_region`` geometry."""
+    x0, y0, x1, y1 = bbox
+    h = y1 - y0
+    w = x1 - x0
+    cx = (x0 + x1) / 2
+    r = [cx - w * 0.3, y0, cx + w * 0.3, y0 + h * 0.28]
+    xi0 = int(np.clip(r[0], 0, frame.shape[1] - 2))
+    yi0 = int(np.clip(r[1], 0, frame.shape[0] - 2))
+    xi1 = int(np.clip(r[2], xi0 + 1, frame.shape[1]))
+    yi1 = int(np.clip(r[3], yi0 + 1, frame.shape[0]))
+    return frame[yi0:yi1, xi0:xi1]
+
+
+def identity_batch(identities: List[Dict], rng: np.random.Generator,
+                   crop_size: int = 64
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Two aligned augmented HEAD-crop views per identity → (a, b)
+    float [B, S, S, 3] in [0,1] for NT-Xent training. Head crops, not
+    whole-person: clothing varies per view by design, so whole-person
+    positives would look more different than negatives and the
+    embedding collapses."""
+    import cv2
+
+    views = []
+    for _ in range(2):
+        crops = []
+        for ident in identities:
+            frame, bbox = draw_person(ident, rng)
+            crop = head_crop(frame, bbox)
+            crops.append(cv2.resize(crop, (crop_size, crop_size),
+                                    interpolation=cv2.INTER_AREA))
+        views.append(np.stack(crops).astype(np.float32) / 255.0)
+    return views[0], views[1]

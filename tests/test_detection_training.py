@@ -1,0 +1,266 @@
+"""Trained-capability tests (round-1 verdict item 3): detection and
+person re-ID must demonstrably WORK end-to-end, not just plumb.
+
+Strategy mirrors ``eval.py --mode detection/person`` at reduced step
+counts: train tiny models on synthetic ground truth, then assert the
+REAL services (YoloService → SmallObjectService → /api/
+small-object-detection; PersonSearchService) return correct matches.
+Reference capability bar: its root harness asserts cross-background
+matching on synthetic people (``test_enhanced_matching.py:382-459``).
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_shapes_yolo():
+    """~300-step tiny YOLO on synthetic shapes → (cfg, variables,
+    first_loss, final_loss)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from avede_tpu.models.yolo import YoloConfig, init_yolo
+    from avede_tpu.parallel.train import TrainState
+    from avede_tpu.parallel.train_det import make_yolo_train_step
+    from avede_tpu.utils.synthetic import draw_shape_scene
+
+    steps = 300
+    cfg = YoloConfig(num_classes=4, scale="n", img_size=64)
+    model, variables = init_yolo(cfg, seed=0)
+    # constant lr: at 300 steps the 3e-3 cosine schedule's early spike
+    # hasn't recovered; 2e-3 constant converges reliably (eval.py uses
+    # the longer 700-step cosine run for its headline numbers)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(2e-3))
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"], tx=tx)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    step = make_yolo_train_step(model, extra)
+    rng = np.random.default_rng(0)
+    first = final = None
+    for it in range(steps):
+        data = [draw_shape_scene(rng) for _ in range(16)]
+        state, m = step(
+            state, jnp.asarray(np.stack([d[0] for d in data])),
+            jnp.asarray(np.stack([d[1] for d in data])),
+            jnp.asarray(np.stack([d[2] for d in data])),
+            jnp.asarray(np.stack([d[3] for d in data])))
+        if it == 0:
+            first = float(m["loss"])
+        final = float(m["loss"])
+    return cfg, {"params": jax.device_get(state.params), **extra}, \
+        first, final
+
+
+def _iou(a, b):
+    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0, ix1 - ix0) * max(0, iy1 - iy0)
+    union = ((a[2] - a[0]) * (a[3] - a[1])
+             + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / union if union > 0 else 0.0
+
+
+class TestDetectionTraining:
+    def test_loss_decreases(self, trained_shapes_yolo):
+        _, _, first, final = trained_shapes_yolo
+        assert final < first / 2, (first, final)
+
+    def test_trained_detector_finds_objects(self, trained_shapes_yolo):
+        from avede_tpu.services.detector import YoloService
+        from avede_tpu.utils.synthetic import (SHAPE_CLASSES,
+                                               draw_shape_scene)
+
+        cfg, variables, _, _ = trained_shapes_yolo
+        svc = YoloService(cfg=cfg, variables=variables,
+                          class_names=SHAPE_CLASSES)
+        rng = np.random.default_rng(7)
+        tp = fp = fn = 0
+        for _ in range(16):
+            img, gb, gl, gm = draw_shape_scene(rng)
+            dets = svc.detect(img[None], conf_threshold=0.3)[0]
+            matched = set()
+            for d in dets:
+                j = int(np.argmax([_iou(d["bbox"], g) for g in gb[gm]])) \
+                    if gm.any() else -1
+                if (j >= 0 and _iou(d["bbox"], gb[gm][j]) >= 0.5
+                        and j not in matched
+                        and d["class_id"] == gl[gm][j]):
+                    tp += 1
+                    matched.add(j)
+                else:
+                    fp += 1
+            fn += int(gm.sum()) - len(matched)
+        assert tp >= 5, f"tp={tp} fp={fp} fn={fn}"
+        assert tp / max(tp + fp, 1) >= 0.45, f"precision {tp}/{tp + fp}"
+        assert tp / max(tp + fn, 1) >= 0.3, f"recall {tp}/{tp + fn}"
+
+    def test_small_object_service_end_to_end(self, trained_shapes_yolo,
+                                             tmp_path):
+        """The small-object VIDEO path returns correct ground-truth
+        matches with a detector that can actually detect."""
+        import cv2
+
+        from avede_tpu.models.clip import init_clip, tiny_test_config
+        from avede_tpu.parallel.embed import ClipEngine
+        from avede_tpu.services.detector import YoloService
+        from avede_tpu.services.small_object import SmallObjectService
+        from avede_tpu.services.universal_detector import UniversalDetector
+        from avede_tpu.utils.synthetic import (SHAPE_CLASSES,
+                                               draw_shape_scene)
+
+        cfg, variables, _, _ = trained_shapes_yolo
+        yolo = YoloService(cfg=cfg, variables=variables,
+                           class_names=SHAPE_CLASSES)
+        _, params = init_clip(tiny_test_config(), seed=0)
+        engine = ClipEngine(cfg=tiny_test_config(), params=params)
+        so = SmallObjectService(engine,
+                                detector=UniversalDetector(engine,
+                                                           yolo=yolo),
+                                tile=64, overlap=0)
+
+        rng = np.random.default_rng(3)
+        video = str(tmp_path / "shapes.mp4")
+        w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 4.0,
+                            (64, 64))
+        gt = []
+        for _ in range(8):
+            img, gb, gl, gm = draw_shape_scene(rng)
+            gt.append((gb[gm], gl[gm]))
+            w.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        w.release()
+
+        out = so.detect_in_video(
+            video, SHAPE_CLASSES, min_object_size=6, max_object_size=48,
+            confidence_threshold=0.3, top_k=30, sample_rate=1,
+            enable_background_independence=False,
+            detection_mode="yolo_enhanced")
+        assert out["total_found"] > 0
+        correct = 0
+        for d in out["results"]:
+            gb, gl = gt[d["frame_index"]]
+            for g, l in zip(gb, gl):
+                if (_iou(d["bbox"], g) >= 0.5
+                        and d.get("query") == SHAPE_CLASSES[l]):
+                    correct += 1
+                    break
+        assert correct > 0, out["results"][:3]
+        assert correct / out["total_found"] >= 0.4
+
+
+@pytest.fixture(scope="module")
+def trained_reid():
+    """~150-step appearance encoder on synthetic identities."""
+    import jax
+    import jax.numpy as jnp
+
+    from avede_tpu.models.appearance import (AppearanceEmbedder,
+                                             tiny_appearance_config)
+    from avede_tpu.parallel.train_reid import (create_reid_train_state,
+                                               make_reid_train_step)
+    from avede_tpu.utils.synthetic import identity_batch, make_identity
+
+    rng = np.random.default_rng(0)
+    acfg = tiny_appearance_config()
+    model, state = create_reid_train_state(acfg, learning_rate=1e-3,
+                                           seed=0)
+    step = make_reid_train_step(model)
+    ids = [make_identity(rng) for _ in range(24)]
+    for _ in range(150):
+        a, b = identity_batch(ids, rng, crop_size=acfg.input_size)
+        state, _ = step(state, jnp.asarray(a), jnp.asarray(b))
+    return AppearanceEmbedder(acfg, params=jax.device_get(state.params))
+
+
+class TestPersonReID:
+    def test_identity_separation_held_out(self, trained_reid):
+        from avede_tpu.utils.synthetic import (draw_person, head_crop,
+                                               make_identity)
+
+        rng = np.random.default_rng(11)
+        held = [make_identity(rng) for _ in range(6)]
+        embs = []
+        for ident in held:
+            crops = []
+            for _ in range(3):
+                frame, bbox = draw_person(ident, rng)
+                crops.append(head_crop(frame, bbox))
+            embs.append(trained_reid.embed(crops))
+        same, other = [], []
+        for i, e in enumerate(embs):
+            s = e @ e.T
+            same.extend(s[np.triu_indices(len(e), 1)])
+            for j in range(i + 1, len(embs)):
+                other.extend((e @ embs[j].T).reshape(-1))
+        margin = float(np.mean(same)) - float(np.mean(other))
+        assert margin > 0.3, f"margin {margin}"
+
+    def test_person_search_finds_target(self, trained_reid, tiny_clip,
+                                        tmp_path, monkeypatch):
+        """PersonSearchService end-to-end with the trained identity
+        encoder (person boxes supplied by ground truth — the YOLO
+        training path has its own tests above)."""
+        import cv2
+
+        from avede_tpu.models.clip import tiny_test_config
+        from avede_tpu.parallel.embed import ClipEngine
+        from avede_tpu.services.person_detector import (PersonDetector,
+                                                        PersonSearchService)
+        from avede_tpu.utils.synthetic import draw_person, make_identity
+
+        _, params = tiny_clip
+        engine = ClipEngine(cfg=tiny_test_config(), params=params)
+        det = PersonDetector(engine, yolo=object(),
+                             appearance=trained_reid)
+
+        rng = np.random.default_rng(5)
+        target = make_identity(rng)
+        distractors = [make_identity(rng) for _ in range(3)]
+        video = str(tmp_path / "people.mp4")
+        w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 4.0,
+                            (96, 96))
+        gt_frames, boxes = [], []
+        fi = 0
+        for block in range(6):
+            ident = (target if block % 2 == 0
+                     else distractors[(block // 2) % 3])
+            for _ in range(4):
+                frame, bbox = draw_person(ident, rng, frame_hw=(96, 96),
+                                          person_h=60)
+                boxes.append(bbox)
+                if block % 2 == 0:
+                    gt_frames.append(fi)
+                w.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                fi += 1
+        w.release()
+
+        ref_frame, ref_box = draw_person(target, rng, frame_hw=(96, 96),
+                                         person_h=60)
+
+        # ground-truth person boxes stand in for the detector: the
+        # first detect call is process_reference (ref_box), then the
+        # video frames in order
+        queue = [ref_box] + boxes
+        calls = {"i": 0}
+
+        def fake_detect(frames, conf_threshold=0.3):
+            out = []
+            for _ in range(len(frames)):
+                out.append([{"bbox": queue[min(calls["i"],
+                                               len(queue) - 1)],
+                             "confidence": 0.9, "method": "gt"}])
+                calls["i"] += 1
+            return out
+
+        monkeypatch.setattr(det, "detect_persons", fake_detect)
+        search = PersonSearchService(engine, detector=det)
+        out = search.process_video_for_person(
+            video, ref_frame, similarity_threshold=0.0, frame_skip=1,
+            temporal_consistency=False)
+        ms = sorted(out["matches"], key=lambda m: -m["similarity"])
+        k = len(gt_frames)
+        topk = {m["frame_index"] for m in ms[:k]}
+        precision = len(topk & set(gt_frames)) / max(len(topk), 1)
+        assert precision >= 0.7, (precision, sorted(topk),
+                                  gt_frames)

@@ -176,3 +176,44 @@ class TestFlashAttention:
         got = flash.apply({"params": params}, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=3e-4, atol=3e-4)
+
+    @pytest.mark.parametrize("L", [50, 70, 130])
+    def test_arbitrary_length_tail_masked(self, L):
+        """ViT token counts (G²+1) are never block-aligned; the wrapper
+        pads and the kernel masks padded K columns (verdict item 5)."""
+        import jax.numpy as jnp
+        from avede_tpu.ops.attention import (attention_reference,
+                                             flash_attention)
+
+        rng = np.random.default_rng(L)
+        q = jnp.asarray(rng.normal(size=(1, 2, L, 16)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 2, L, 16)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 2, L, 16)).astype(np.float32))
+        got = flash_attention(q, k, v, interpret=True)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_clip_tower_flash_parity(self):
+        """CLIPConfig(use_flash=True) must reproduce the XLA-attention
+        tower embeddings at ViT's natural (odd) token count."""
+        import dataclasses
+
+        import jax.numpy as jnp
+        from avede_tpu.models.clip import init_clip, tiny_test_config
+
+        cfg = tiny_test_config()          # 4×4 grid + cls = 17 tokens
+        model, params = init_clip(cfg, seed=0)
+        rng = np.random.default_rng(9)
+        px = jnp.asarray(rng.normal(
+            size=(3, cfg.image_size, cfg.image_size, 3)).astype(np.float32))
+        ref = model.apply({"params": params}, px,
+                          method=model.encode_image)
+
+        from avede_tpu.models.clip import CLIPModel
+
+        fmodel = CLIPModel(dataclasses.replace(cfg, use_flash=True))
+        got = fmodel.apply({"params": params}, px,
+                           method=fmodel.encode_image)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-4, atol=3e-4)
