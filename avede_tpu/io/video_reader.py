@@ -130,12 +130,25 @@ class VideoReader:
 
     def stream_frames(self, path: str, chunk: int = 256,
                       sample_rate: Optional[int] = None,
-                      max_frames: Optional[int] = None):
+                      max_frames: Optional[int] = None,
+                      workers: Optional[int] = None):
         """Generator of (uint8 [c, H, W, 3] RGB, timestamps) chunks,
         yielded AS the video decodes — the host side of the
         decode↔embed overlap (``ClipEngine.embed_stream`` consumes this
         through ``parallel/prefetch.prefetch_to_device`` so the device
-        computes chunk *i* while the host decodes chunk *i+1*)."""
+        computes chunk *i* while the host decodes chunk *i+1*).
+
+        With ``workers > 1`` (``settings.DECODE_WORKERS``) the sampled
+        index list splits into contiguous spans, each decoded by its
+        own capture on its own thread (cv2 releases the GIL during
+        decode — real host parallelism, the role Decord's threaded
+        ``get_batch`` plays in the reference,
+        ``frame_extractor.py:38-114``). Chunks arrive in order; span
+        queues are bounded so memory stays ≈ workers × queue × chunk.
+        """
+        import queue as _queue
+        import threading
+
         import cv2
 
         from ..utils.memory import decode_budget
@@ -149,60 +162,88 @@ class VideoReader:
         if not idxs:
             raise VideoDecodeError(
                 f"no sampleable frames in {path} (total={meta.total_frames})")
+        # sequential scan beats per-frame seeking for dense sampling;
+        # seek only when gaps are large.
+        dense = (len(idxs) > meta.total_frames / 20
+                 if meta.total_frames else True)
+        if workers is None or workers <= 0:
+            workers = settings.DECODE_WORKERS
+        if workers <= 0:                       # auto: scale with the host
+            import os as _os
 
-        cap = cv2.VideoCapture(str(path))
-        if not cap.isOpened():
-            raise VideoDecodeError(f"cannot open video: {path}")
-        buf: List[np.ndarray] = []
-        buf_ts: List[float] = []
-        total = 0
-        try:
-            want = set(idxs)
-            # sequential scan beats per-frame seeking for dense sampling;
-            # seek only when gaps are large.
-            dense = (len(idxs) > meta.total_frames / 20
-                     if meta.total_frames else True)
+            workers = min(4, _os.cpu_count() or 1)
+        workers = max(1, min(workers, len(idxs) // max(chunk // 4, 1) or 1))
 
-            def emit():
-                nonlocal buf, buf_ts, total
-                out = np.stack(buf), list(buf_ts)
-                total += len(buf)
-                buf, buf_ts = [], []
-                return out
-
-            if dense:
-                pos = 0
-                got = 0
-                while got < len(idxs):
-                    ok, frame = cap.read()
-                    if not ok:
-                        break
-                    if pos in want:
-                        buf.append(self._convert(frame, tw, th))
-                        buf_ts.append(float(pos) / meta.fps)
-                        got += 1
+        def decode_span(span: List[int], out_q, convert=self._convert):
+            """Decode one contiguous span of sampled indices into
+            chunk-sized (frames, timestamps) tuples on ``out_q``."""
+            cap = cv2.VideoCapture(str(path))
+            if not cap.isOpened():
+                out_q.put(VideoDecodeError(f"cannot open video: {path}"))
+                return
+            buf: List[np.ndarray] = []
+            buf_ts: List[float] = []
+            try:
+                if dense:
+                    pos = span[0]
+                    if pos:
+                        cap.set(cv2.CAP_PROP_POS_FRAMES, pos)
+                    want = set(span)
+                    last = span[-1]
+                    while pos <= last:
+                        ok, frame = cap.read()
+                        if not ok:
+                            break
+                        if pos in want:
+                            buf.append(convert(frame, tw, th))
+                            buf_ts.append(float(pos) / meta.fps)
+                            if len(buf) >= chunk:
+                                out_q.put((np.stack(buf), list(buf_ts)))
+                                buf, buf_ts = [], []
+                        pos += 1
+                else:
+                    for idx in span:
+                        cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+                        ok, frame = cap.read()
+                        if not ok:
+                            break
+                        buf.append(convert(frame, tw, th))
+                        buf_ts.append(float(idx) / meta.fps)
                         if len(buf) >= chunk:
-                            yield emit()
-                    pos += 1
-            else:
-                for idx in idxs:
-                    cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
-                    ok, frame = cap.read()
-                    if not ok:
-                        break
-                    buf.append(self._convert(frame, tw, th))
-                    buf_ts.append(float(idx) / meta.fps)
-                    if len(buf) >= chunk:
-                        yield emit()
-            if buf:
-                yield emit()
-        finally:
-            cap.release()
+                            out_q.put((np.stack(buf), list(buf_ts)))
+                            buf, buf_ts = [], []
+                if buf:
+                    out_q.put((np.stack(buf), list(buf_ts)))
+            except Exception as exc:  # noqa: BLE001 — surface on consumer
+                out_q.put(exc)
+            finally:
+                cap.release()
+                out_q.put(None)
+
+        spans = [list(s) for s in np.array_split(np.asarray(idxs), workers)
+                 if len(s)]
+        queues = [_queue.Queue(maxsize=4) for _ in spans]
+        threads = [threading.Thread(target=decode_span, args=(s, q),
+                                    daemon=True, name=f"avede-decode-{i}")
+                   for i, (s, q) in enumerate(zip(spans, queues))]
+        for t in threads:
+            t.start()
+        total = 0
+        for q in queues:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                total += len(item[0])
+                yield item
 
         if total == 0:
             raise VideoDecodeError(f"decoded zero frames from {path}")
-        logger.info("Extracted %d frames from %s (%dx%d, fps=%.2f)",
-                    total, path, tw, th, meta.fps)
+        logger.info("Extracted %d frames from %s (%dx%d, fps=%.2f, "
+                    "%d decode workers)", total, path, tw, th, meta.fps,
+                    len(spans))
 
     @staticmethod
     def _convert(frame_bgr: np.ndarray, tw: int, th: int) -> np.ndarray:

@@ -67,6 +67,10 @@ class Settings(BaseModel):
     BATCHING_EXECUTOR_ENABLED: bool = True  # coalesce concurrent crop embeds
     BATCHING_MAX_WAIT_MS: float = 4.0
     STREAM_CHUNK_FRAMES: int = 256          # decode→embed overlap chunk
+    DECODE_WORKERS: int = 0                 # parallel segment decode threads
+    # (0 = auto: min(4, cpu_count); measured on this 1-core dev box
+    # threading loses — ffmpeg contends with itself — while TPU-VM
+    # hosts have 100+ cores where spans scale near-linearly)
     TOP_K_RESULTS: int = 15
     CONFIDENCE_THRESHOLD: float = 0.25
     CLIP_DURATION: float = 30.0             # seconds per extracted clip

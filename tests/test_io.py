@@ -56,6 +56,38 @@ class TestVideoReader:
         f = VideoReader().read_frame_at(test_video, 1.0)
         assert f.dtype == np.uint8 and f.shape[-1] == 3
 
+    def test_stream_frames_matches_extract(self, test_video):
+        """Chunked streaming decode must be byte-identical to the
+        whole-video extract (same sampling, order, timestamps)."""
+        from avede_tpu.io.video_reader import VideoReader
+
+        r = VideoReader()
+        ref_frames, ref_ts = r.extract_frames(test_video)
+        chunks = list(r.stream_frames(test_video, chunk=16, workers=1))
+        frames = np.concatenate([c for c, _ in chunks])
+        ts = [t for _, cts in chunks for t in cts]
+        assert ts == ref_ts
+        np.testing.assert_array_equal(frames, ref_frames)
+        assert all(len(c) <= 16 for c, _ in chunks)
+
+    @pytest.mark.parametrize("sample_rate", [1, 7])
+    def test_parallel_decode_identical(self, test_video, sample_rate):
+        """Multi-worker segment decode (dense scan AND sparse seek
+        paths) must reproduce single-worker output exactly."""
+        from avede_tpu.io.video_reader import VideoReader
+
+        r = VideoReader()
+        one = list(r.stream_frames(test_video, chunk=8,
+                                   sample_rate=sample_rate, workers=1))
+        par = list(r.stream_frames(test_video, chunk=8,
+                                   sample_rate=sample_rate, workers=3))
+        f1 = np.concatenate([c for c, _ in one])
+        f3 = np.concatenate([c for c, _ in par])
+        t1 = [t for _, ts in one for t in ts]
+        t3 = [t for _, ts in par for t in ts]
+        assert t1 == t3
+        np.testing.assert_array_equal(f1, f3)
+
 
 class TestClipWriter:
     def test_extract_clip_dict_contract(self, test_video, tmp_path):
