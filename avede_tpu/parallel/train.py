@@ -140,6 +140,34 @@ def make_grounding_train_step(model, mesh: MeshContext):
                    donate_argnums=(0,))
 
 
+def make_caption_train_step(model, pad_token_id: int,
+                            mesh: Optional[MeshContext] = None):
+    """Teacher-forced BLIP caption training: CE of logits[t] against
+    ids[t+1], pad positions masked. The reference ships no captioner
+    training at all (its BLIP is a frozen download); this is what makes
+    ``eval.py --mode caption`` able to PROVE the decode path emits real
+    text end-to-end."""
+
+    def step(state: TrainState, pixels: jax.Array, ids: jax.Array):
+        def loss_fn(params):
+            logits = model.apply({"params": params}, pixels, ids)
+            targets = ids[:, 1:]
+            mask = (targets != pad_token_id).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, targets[..., None], axis=-1)[..., 0]
+            return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), {"loss": loss}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    data = NamedSharding(mesh.mesh, P(DATA_AXIS))
+    return jax.jit(step, in_shardings=(None, data, data),
+                   donate_argnums=(0,))
+
+
 def create_grounding_train_state(cfg=None, learning_rate: float = 1e-3,
                                  seed: int = 0):
     from ..models.univtg import init_grounding
