@@ -573,8 +573,15 @@ def main(argv=None) -> None:
     parser.add_argument("--port", type=int, default=settings.API_PORT)
     args = parser.parse_args(argv)
     logger.info("Starting API on %s:%d", args.host, args.port)
-    web.run_app(create_app(), host=args.host, port=args.port,
-                print=lambda *a: None)
+    from ..utils.system import ResourceMonitor, optimized_context
+
+    monitor = ResourceMonitor().start()
+    try:
+        with optimized_context():
+            web.run_app(create_app(), host=args.host, port=args.port,
+                        print=lambda *a: None)
+    finally:
+        monitor.stop()
 
 
 if __name__ == "__main__":

@@ -173,3 +173,34 @@ class TestTrace:
         import os
 
         assert any(os.scandir(tmp_path / "prof"))
+
+
+class TestSystemOptimizer:
+    def test_optimized_context_restores_gc(self):
+        import gc
+
+        from avede_tpu.utils.system import optimized_context
+
+        before = gc.get_threshold()
+        with optimized_context(gc_thresholds=(123, 9, 9)):
+            assert gc.get_threshold() == (123, 9, 9)
+        assert gc.get_threshold() == before
+
+    def test_resource_monitor_records_pressure(self):
+        import time
+
+        from avede_tpu.utils.metrics import get_monitor
+        from avede_tpu.utils.system import ResourceMonitor
+
+        mon = ResourceMonitor(interval_s=0.05).start()
+        try:
+            deadline = time.time() + 3.0
+            while time.time() < deadline:
+                ops = get_monitor().summary()["operations"]
+                if "host_memory_pressure" in ops:
+                    break
+                time.sleep(0.05)
+            assert "host_memory_pressure" in \
+                get_monitor().summary()["operations"]
+        finally:
+            mon.stop()
