@@ -39,7 +39,11 @@ class BlipConfig:
     vocab_size: int = 30524
     text_dim: int = 768
     text_depth: int = 12
-    text_heads: int = 12
+    text_heads: int = 8                 # HF BlipTextConfig default is 8,
+                                        # NOT 12 (full-geometry parity
+                                        # caught this; single-key rows are
+                                        # head-count invariant, so tiny
+                                        # configs cannot)
     text_mlp: int = 3072
     max_pos: int = 512
     text_ln_eps: float = 1e-12

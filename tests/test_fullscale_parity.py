@@ -168,3 +168,124 @@ class TestPreprocessParity:
             got_px = np.asarray(clip_preprocess(frame[None]))
             cos = _cos(embed(got_px), embed(ref_px))
             assert np.all(cos > 1 - 1e-3), f"embedding drift {1 - cos}"
+
+
+class TestOtherTowersFullGeometry:
+    """Full-geometry random-init parity for the remaining towers (the
+    tiny-config suites prove the converters; real checkpoints live at
+    these geometries — verdict weak #5 generalized past CLIP)."""
+
+    def test_owlvit_base_768(self):
+        from transformers import OwlViTConfig as HFConfig
+        from transformers import OwlViTForObjectDetection as HFModel
+
+        from avede_tpu.models.owlvit import (OwlViTDetector,
+                                             convert_owlvit_state_dict,
+                                             owlvit_base_patch32)
+
+        torch.manual_seed(0)
+        hf = HFModel(HFConfig()).eval()     # defaults = base-patch32/768
+        cfg = owlvit_base_patch32()
+        assert hf.config.vision_config.image_size == cfg.image_size
+        params = convert_owlvit_state_dict(hf.state_dict(), 12, 12)
+        model = OwlViTDetector(cfg)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, 768, 768, 3)).astype(np.float32) * 0.5
+        ids = rng.integers(1, 49000, size=(2, 16)).astype(np.int64)
+        ids[:, -1] = 49407
+        with torch.no_grad():
+            out = hf(input_ids=torch.tensor(ids),
+                     pixel_values=torch.tensor(x.transpose(0, 3, 1, 2)),
+                     attention_mask=torch.ones_like(torch.tensor(ids)))
+        logits, boxes = model.apply({"params": params}, x,
+                                    ids.astype(np.int32))
+        np.testing.assert_allclose(np.asarray(boxes),
+                                   out.pred_boxes.numpy(), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   out.logits.numpy(), atol=2e-2)
+
+    def test_blip2_qformer_full_geometry(self):
+        """Q-Former at FULL default geometry (768 dim, 12 layers,
+        12 heads, 32 query tokens, 1408-dim cross-attention KV) vs HF
+        Blip2ForImageTextRetrieval. Vision depth is cut to 2 layers to
+        keep the random model constructible on CPU — each vision layer
+        still runs at the real 1408-dim/16-head geometry, so the
+        fused-qkv head split is exercised at scale too."""
+        from transformers import Blip2Config as HFConfig
+        from transformers import Blip2ForImageTextRetrieval as HFModel
+
+        from avede_tpu.models.qformer import (Blip2Retrieval,
+                                              QFormerConfig,
+                                              convert_blip2_state_dict)
+
+        cfg = QFormerConfig(vision_depth=2)
+        hf_cfg = HFConfig(
+            vision_config=dict(hidden_size=cfg.vision_dim,
+                               intermediate_size=cfg.vision_mlp,
+                               num_hidden_layers=cfg.vision_depth,
+                               num_attention_heads=cfg.vision_heads,
+                               image_size=cfg.image_size,
+                               patch_size=cfg.patch_size),
+            qformer_config=dict(vocab_size=cfg.vocab_size,
+                                use_qformer_text_input=True),
+            text_config=dict(vocab_size=cfg.vocab_size),
+            num_query_tokens=cfg.num_query_tokens,
+            image_text_hidden_size=cfg.projection_dim)
+        # our defaults must BE the HF defaults (the BLIP text tower's
+        # 12-vs-8 head bug motivated this assertion style)
+        q = hf_cfg.qformer_config
+        assert (q.hidden_size, q.num_hidden_layers, q.num_attention_heads,
+                q.intermediate_size, q.cross_attention_frequency,
+                q.encoder_hidden_size) == (cfg.hidden, cfg.depth, cfg.heads,
+                                           cfg.mlp, cfg.cross_frequency,
+                                           cfg.vision_dim)
+        torch.manual_seed(0)
+        hf = HFModel(hf_cfg).eval()
+        params = convert_blip2_state_dict(hf.state_dict(), cfg)
+        model = Blip2Retrieval(cfg)
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(1, 224, 224, 3)).astype(np.float32) * 0.5
+        ids = rng.integers(1, 30000, size=(2, 8)).astype(np.int64)
+        with torch.no_grad():
+            ref = hf(pixel_values=torch.tensor(x.transpose(0, 3, 1, 2)),
+                     input_ids=torch.tensor(ids),
+                     attention_mask=torch.ones_like(torch.tensor(ids)),
+                     use_image_text_matching_head=False
+                     ).logits_per_image.numpy()
+        got = np.asarray(model.apply({"params": params}, x,
+                                     ids.astype(np.int32),
+                                     np.ones_like(ids, bool)))
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    def test_blip_base_384(self):
+        from transformers import BlipConfig as HFConfig
+        from transformers import \
+            BlipForConditionalGeneration as HFModel
+
+        from avede_tpu.models.blip import BlipCaptioner, blip_base
+        from avede_tpu.models.convert import convert_blip_state_dict
+
+        torch.manual_seed(0)
+        hf = HFModel(HFConfig()).eval()     # defaults = captioning-base
+        cfg = blip_base()
+        assert hf.config.vision_config.image_size == cfg.image_size
+        params = convert_blip_state_dict(hf.state_dict(), 12, 12)
+        model = BlipCaptioner(cfg)
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 384, 384, 3)).astype(np.float32) * 0.5
+        ids = rng.integers(1, 30000, size=(1, 8)).astype(np.int64)
+        ids[:, 0] = cfg.bos_token_id
+        with torch.no_grad():
+            ref = hf(pixel_values=torch.tensor(x.transpose(0, 3, 1, 2)),
+                     input_ids=torch.tensor(ids)).logits.numpy()
+        got = np.asarray(model.apply({"params": params}, x,
+                                     ids.astype(np.int32)))
+        # compare next-token DISTRIBUTIONS where it matters: cosine of
+        # logit rows ≥ 1-1e-3 and argmax agreement
+        cos = _cos(got.reshape(-1, got.shape[-1]),
+                   ref.reshape(-1, ref.shape[-1]))
+        assert np.all(cos > 1 - 1e-3), f"logit row drift {1 - cos}"
+        assert (got.argmax(-1) == ref.argmax(-1)).all()
