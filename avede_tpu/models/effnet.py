@@ -78,8 +78,12 @@ class ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.k // 2
+        # TF-SAME semantics: stride-2 convs pad asymmetrically (one less
+        # on top/left) — the canonical EfficientNet behavior, and what
+        # HF/timm checkpoints were trained with.
+        pad = ((p - 1, p), (p - 1, p)) if self.s == 2 else ((p, p), (p, p))
         x = nn.Conv(self.out, (self.k, self.k), strides=(self.s, self.s),
-                    padding=((p, p), (p, p)),
+                    padding=pad,
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=self.eps,
@@ -150,6 +154,54 @@ class EfficientNet(nn.Module):
         feats = x.mean(axis=(1, 2))
         return (feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True)
                          + 1e-9)).astype(jnp.float32)
+
+
+def convert_effnet_state_dict(sd, cfg: Optional[EffNetConfig] = None):
+    """HF ``EfficientNetModel`` state dict → Flax variables.
+
+    The reference loads timm's pretrained EfficientNet-B0 for its
+    1280-d re-ID features (``object_detector.py:171-196``); this
+    converter accepts the equivalent public HF checkpoint
+    (``google/efficientnet-b0``). Returns ``{"params", "batch_stats"}``.
+    """
+    from .convert import _np, _set
+
+    cfg = cfg or effnet_b0()
+    params: dict = {}
+    stats: dict = {}
+
+    def conv_bn(dst: str, conv_key: str, bn_key: str) -> None:
+        # (2,3,1,0) also maps torch depthwise [C,1,k,k] → flax (k,k,1,C)
+        w = _np(sd[f"{conv_key}.weight"]).transpose(2, 3, 1, 0)
+        _set(params, f"{dst}/conv/kernel", w)
+        _set(params, f"{dst}/bn/scale", _np(sd[f"{bn_key}.weight"]))
+        _set(params, f"{dst}/bn/bias", _np(sd[f"{bn_key}.bias"]))
+        _set(stats, f"{dst}/bn/mean", _np(sd[f"{bn_key}.running_mean"]))
+        _set(stats, f"{dst}/bn/var", _np(sd[f"{bn_key}.running_var"]))
+
+    conv_bn("stem", "embeddings.convolution", "embeddings.batchnorm")
+    b = 0
+    for si, (e, _k, _s, _c, r) in enumerate(B0_STAGES):
+        for ri in range(cfg.reps(r)):
+            s = f"encoder.blocks.{b}"
+            d = f"s{si}_b{ri}"
+            if e != 1:
+                conv_bn(f"{d}/expand_conv", f"{s}.expansion.expand_conv",
+                        f"{s}.expansion.expand_bn")
+            conv_bn(f"{d}/dw_conv",
+                    f"{s}.depthwise_conv.depthwise_conv",
+                    f"{s}.depthwise_conv.depthwise_norm")
+            for proj in ("reduce", "expand"):
+                _set(params, f"{d}/se/{proj}/kernel",
+                     _np(sd[f"{s}.squeeze_excite.{proj}.weight"]
+                         ).transpose(2, 3, 1, 0))
+                _set(params, f"{d}/se/{proj}/bias",
+                     _np(sd[f"{s}.squeeze_excite.{proj}.bias"]))
+            conv_bn(f"{d}/project_conv", f"{s}.projection.project_conv",
+                    f"{s}.projection.project_bn")
+            b += 1
+    conv_bn("head", "encoder.top_conv", "encoder.top_bn")
+    return {"params": params, "batch_stats": stats}
 
 
 def init_effnet(cfg: Optional[EffNetConfig] = None, seed: int = 0,

@@ -83,13 +83,66 @@ def shape_descriptor(mask: np.ndarray) -> np.ndarray:
     return out
 
 
+class EffNetExtractor:
+    """Jitted EfficientNet-B0 crop features — the reference's re-ID
+    feature family (``object_detector.py:171-196`` uses timm
+    EfficientNet-B0 ``num_classes=0`` for 1280-d features). Weights come
+    from ``settings.FEATURE_EXTRACTOR_WEIGHTS`` (an ``.npz`` written by
+    ``save_params`` — either trained here or converted from the public
+    ``google/efficientnet-b0`` via ``convert_effnet_state_dict``)."""
+
+    def __init__(self, variables=None, weights_path: Optional[str] = None,
+                 cfg=None, image_size: int = 224) -> None:
+        import jax
+
+        from ..models.effnet import EfficientNet, effnet_b0, init_effnet
+        from ..ops.preprocess import imagenet_preprocess
+
+        self.cfg = cfg or effnet_b0()
+        self.image_size = image_size
+        if variables is not None:
+            self.model = EfficientNet(self.cfg)
+            self.variables = variables
+        elif weights_path:
+            from ..models.convert import load_params
+
+            self.model = EfficientNet(self.cfg)
+            self.variables = load_params(weights_path)
+            logger.info("EfficientNet weights loaded from %s", weights_path)
+        else:
+            self.model, self.variables = init_effnet(
+                self.cfg, seed=0, image_size=image_size)
+
+        model, size = self.model, self.image_size
+
+        @jax.jit
+        def run(variables, frames_u8):
+            return model.apply(variables, imagenet_preprocess(
+                frames_u8, size=size))
+
+        self._run = run
+
+    def embed_crops(self, crops: Sequence[np.ndarray]) -> np.ndarray:
+        """uint8 crops (any sizes) → L2-normalized [N, D] features."""
+        import cv2
+
+        sized = np.stack([cv2.resize(c, (self.image_size, self.image_size))
+                          for c in crops])
+        return np.asarray(self._run(self.variables, sized))
+
+
 class BackgroundIndependentService:
     def __init__(self, engine: ClipEngine,
                  reader: Optional[VideoReader] = None,
-                 detector=None) -> None:
+                 detector=None,
+                 effnet: Optional[EffNetExtractor] = None) -> None:
         self.engine = engine
         self.reader = reader or VideoReader()
         self._detector = detector
+        if effnet is None and settings.FEATURE_EXTRACTOR_WEIGHTS:
+            effnet = EffNetExtractor(
+                weights_path=settings.FEATURE_EXTRACTOR_WEIGHTS)
+        self.effnet = effnet
 
     # ------------------------------------------------------------------
     def extract_features(self, image: np.ndarray, bbox: Sequence[float],
@@ -117,6 +170,8 @@ class BackgroundIndependentService:
         soft = soft.astype(np.uint8)
 
         emb = self.engine.embed_images([soft])[0]
+        effnet_emb = (self.effnet.embed_crops([soft])[0]
+                      if self.effnet is not None else None)
         color_feats = []
         for code in (None, cv2.COLOR_RGB2HSV, cv2.COLOR_RGB2LAB,
                      cv2.COLOR_RGB2YUV):
@@ -125,18 +180,27 @@ class BackgroundIndependentService:
                 -1, 3)
             color_feats.append(masked.mean(0) / 255.0)
         shape = shape_descriptor(crop_mask)
-        return {"embedding": emb,
-                "color": np.concatenate(color_feats),
-                "shape": shape,
-                "mask_coverage": float(crop_mask.mean())}
+        out = {"embedding": emb,
+               "color": np.concatenate(color_feats),
+               "shape": shape,
+               "mask_coverage": float(crop_mask.mean())}
+        if effnet_emb is not None:
+            out["effnet"] = effnet_emb
+        return out
 
     @staticmethod
     def feature_similarity(a: Dict, b: Dict) -> float:
-        """Cosine fusion across the three families (reference
-        ``:463-500`` maps cosine to [0, 1])."""
+        """Cosine fusion across the feature families (reference
+        ``:463-500`` maps cosine to [0, 1]); when both sides carry
+        EfficientNet re-ID features the 0.6 embedding weight is split
+        0.4 CLIP / 0.2 EfficientNet."""
         s_emb = (F.cosine_sim(a["embedding"], b["embedding"]) + 1) / 2
         s_col = (F.cosine_sim(a["color"], b["color"]) + 1) / 2
         s_shp = (F.cosine_sim(a["shape"], b["shape"]) + 1) / 2
+        if "effnet" in a and "effnet" in b:
+            s_eff = (F.cosine_sim(a["effnet"], b["effnet"]) + 1) / 2
+            return float(0.4 * s_emb + 0.2 * s_eff
+                         + 0.2 * s_col + 0.2 * s_shp)
         return float(0.6 * s_emb + 0.2 * s_col + 0.2 * s_shp)
 
     # ------------------------------------------------------------------

@@ -259,6 +259,61 @@ class TestOtherTowersFullGeometry:
                                      np.ones_like(ids, bool)))
         np.testing.assert_allclose(got, ref, atol=1e-3)
 
+    def test_efficientnet_b0_224(self):
+        """Full B0 geometry vs HF EfficientNetModel — exercises the
+        TF-SAME asymmetric stride-2 padding, channel/depth rounding and
+        the converter over all 16 MBConv blocks, so the public
+        google/efficientnet-b0 checkpoint converts directly."""
+        from transformers import EfficientNetConfig as HFConfig
+        from transformers import EfficientNetModel as HFModel
+
+        from avede_tpu.models.effnet import (EfficientNet,
+                                             convert_effnet_state_dict,
+                                             effnet_b0)
+
+        torch.manual_seed(0)
+        hf = HFModel(HFConfig(width_coefficient=1.0, depth_coefficient=1.0,
+                              hidden_dim=1280, image_size=224,
+                              # keep train-mode BN calibration identical
+                              # to the eval forward (no stochastic depth)
+                              drop_connect_rate=0.0))
+        cfg = effnet_b0()
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, 224, 224, 3)).astype(np.float32) * 0.5
+        # HF random-init uses std=0.02 for every conv, which drives
+        # activation variance below BN eps (1e-3) — activations vanish
+        # multiplicatively over 16 blocks. Re-init convs at kaiming scale
+        # (what a real checkpoint looks like), then calibrate BN running
+        # stats on the test batch itself: momentum=None → running stats
+        # == batch stats exactly after one train-mode pass.
+        for m in hf.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                torch.nn.init.kaiming_normal_(m.weight)
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.momentum = None
+                m.reset_running_stats()
+        hf.train()
+        with torch.no_grad():
+            hf(pixel_values=torch.tensor(x.transpose(0, 3, 1, 2)))
+        hf = hf.eval()
+        # random-init features come out ~1e-10 (SE gating halves every
+        # block and BN eps floors the rescale once var < eps — identical
+        # on both sides, but it puts our L2-norm 1e-9 guard in play);
+        # scale the final gamma so features are O(1) like a real
+        # checkpoint's
+        with torch.no_grad():
+            hf.encoder.top_bn.weight.mul_(1e8)
+        variables = convert_effnet_state_dict(hf.state_dict(), cfg)
+        model = EfficientNet(cfg)
+
+        with torch.no_grad():
+            ref = hf(pixel_values=torch.tensor(x.transpose(0, 3, 1, 2))
+                     ).pooler_output.numpy()
+        ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+        got = np.asarray(model.apply(variables, x))
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
     def test_blip_base_384(self):
         from transformers import BlipConfig as HFConfig
         from transformers import \

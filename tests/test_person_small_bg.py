@@ -234,6 +234,39 @@ class TestBackgroundIndependent:
         assert {"results", "background_independence_stats"} <= set(out)
         assert out["background_independence_stats"]["candidates"] >= 0
 
+    def test_effnet_reid_features(self, engine, tmp_path, monkeypatch):
+        """settings.FEATURE_EXTRACTOR_WEIGHTS wires EfficientNet re-ID
+        features into the background-independent fusion (reference
+        object_detector.py:171-196 role)."""
+        from avede_tpu.models.convert import save_params
+        from avede_tpu.models.effnet import init_effnet, tiny_effnet_config
+        from avede_tpu.services.background_independent import (
+            BackgroundIndependentService, EffNetExtractor)
+        from avede_tpu.utils.config import settings
+
+        cfg = tiny_effnet_config()
+        _, variables = init_effnet(cfg, seed=0, image_size=64)
+        wpath = tmp_path / "effnet.npz"
+        save_params(variables, str(wpath))
+        monkeypatch.setattr(settings, "FEATURE_EXTRACTOR_WEIGHTS",
+                            str(wpath))
+        svc = BackgroundIndependentService(
+            engine, effnet=EffNetExtractor(weights_path=str(wpath),
+                                           cfg=cfg, image_size=64))
+        # loading through settings alone must also construct
+        assert BackgroundIndependentService(engine).effnet is not None
+
+        img = np.full((80, 80, 3), 10, np.uint8)
+        img[20:60, 25:55] = np.random.default_rng(3).integers(
+            100, 255, (40, 30, 3), dtype=np.uint8)
+        feat = svc.extract_features(img, [25, 20, 55, 60])
+        assert feat is not None and "effnet" in feat
+        # random-init features are tiny, so the L2 guard epsilon shows
+        # up in the norm — near-unit is the contract
+        assert 0.9 < np.linalg.norm(feat["effnet"]) <= 1.0 + 1e-5
+        s_self = svc.feature_similarity(feat, feat)
+        assert s_self == pytest.approx(1.0, abs=1e-4)
+
 
 class TestFindPersonInFrame:
     def test_single_frame_matcher(self, engine, tiny_yolo):
