@@ -1,0 +1,82 @@
+"""Duplicate-frame gating for the scan path.
+
+Real footage is temporally redundant — surveillance and static-camera
+video especially (the reference's target domain: its frame extractor
+samples EVERY frame by default, ``src/services/frame_extractor.py:66``,
+then CLIP-encodes each one). Embedding near-identical consecutive
+frames is pure waste: this module detects runs of near-duplicates with
+a cheap host-side signature (16×16 gray mean-abs-diff) and the embed
+path runs the ViT only on run representatives, scattering each
+representative's embedding back to every frame it stands for. The
+per-frame embedding table keeps its full length, so windows, top-k,
+caching and every downstream consumer are unchanged.
+
+The gate is conservative by default (``settings.SCAN_DEDUP_EPS`` gray
+levels of mean absolute difference at 16×16): frames that differ by
+real motion never merge; compression noise and static scenes do.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+SIG_SIZE = 16
+
+
+def frame_signature(frame: np.ndarray) -> np.ndarray:
+    """uint8 [H, W, 3] → float32 [16, 16] gray thumbnail."""
+    import cv2
+
+    g = cv2.cvtColor(frame, cv2.COLOR_RGB2GRAY)
+    return cv2.resize(g, (SIG_SIZE, SIG_SIZE),
+                      interpolation=cv2.INTER_AREA).astype(np.float32)
+
+
+class FrameDeduper:
+    """Streaming near-duplicate gate.
+
+    ``filter(chunk)`` returns the chunk's unique frames (possibly
+    empty) and extends ``self.mapping`` with one representative index
+    per input frame. After the stream, ``emb_unique[self.mapping]`` is
+    the full-length embedding table.
+    """
+
+    def __init__(self, eps: float) -> None:
+        self.eps = float(eps)
+        self.mapping: List[int] = []
+        self._prev_sig: Optional[np.ndarray] = None
+        self._n_unique = 0
+
+    def filter(self, frames: np.ndarray) -> np.ndarray:
+        keep = []
+        for i in range(len(frames)):
+            sig = frame_signature(frames[i])
+            is_dup = (self._prev_sig is not None
+                      and float(np.abs(sig - self._prev_sig).mean())
+                      <= self.eps)
+            if is_dup:
+                self.mapping.append(self._n_unique - 1)
+            else:
+                keep.append(i)
+                self.mapping.append(self._n_unique)
+                self._n_unique += 1
+                self._prev_sig = sig
+        return frames[keep] if keep else frames[:0]
+
+    @property
+    def n_total(self) -> int:
+        return len(self.mapping)
+
+    @property
+    def n_unique(self) -> int:
+        return self._n_unique
+
+    def scatter(self, emb_unique: np.ndarray) -> np.ndarray:
+        """[n_unique, D] → [n_total, D] full per-frame table."""
+        if emb_unique.shape[0] != self._n_unique:
+            raise ValueError(
+                f"expected {self._n_unique} unique embeddings, got "
+                f"{emb_unique.shape[0]}")
+        return emb_unique[np.asarray(self.mapping, np.int64)]

@@ -125,24 +125,63 @@ def face_feature(face_crop: np.ndarray) -> Optional[np.ndarray]:
     return g / n if n > 0 else None
 
 
+def _silhouette(crop: np.ndarray) -> Optional[np.ndarray]:
+    """Bool foreground mask: GrabCut seeded by an inset rect, with a
+    distance-from-border-color fallback. Crop is downscaled to ≤96 px
+    height first to bound GrabCut cost on the scan path."""
+    import cv2
+
+    h, w = crop.shape[:2]
+    if h < 8 or w < 6:
+        return None
+    if h > 96:
+        crop = cv2.resize(crop, (max(6, int(w * 96 / h)), 96))
+        h, w = crop.shape[:2]
+    from .background_independent import grabcut_mask
+
+    mask = grabcut_mask(crop, [w * 0.06, h * 0.02, w * 0.94, h * 0.98],
+                        iterations=2)
+    if mask is not None and 0.05 < mask.mean() < 0.95:
+        return mask
+    border = np.concatenate([crop[0], crop[-1], crop[:, 0], crop[:, -1]])
+    bg = border.reshape(-1, 3).astype(np.float32).mean(0)
+    dist = np.linalg.norm(crop.astype(np.float32) - bg, axis=-1)
+    fallback = dist > 40.0
+    return fallback if fallback.any() else None
+
+
 def body_feature(person_crop: np.ndarray, bbox: Sequence[float]
                  ) -> np.ndarray:
-    """Clothing-invariant-ish geometry: aspect ratio, upper/lower mass
-    split, vertical intensity profile (role of the reference's pose
-    body-ratios, ``:359-467``)."""
+    """Clothing-COLOR-invariant silhouette geometry (role of the
+    reference's MediaPipe pose body-ratios, ``:359-467``: shoulder/hip,
+    head/shoulder, torso/leg): bbox aspect + mask-derived width ratios
+    + 12-bin row-width profile, computed from a bbox-seeded GrabCut
+    silhouette instead of landmarks (no mediapipe in image)."""
     import cv2
 
     x0, y0, x1, y1 = bbox
     aspect = (y1 - y0) / max(x1 - x0, 1e-3)
+    feat = np.zeros(17, np.float32)
+    feat[0] = min(aspect / 4.0, 1.0)
     if person_crop.size == 0:
-        return np.zeros(18, np.float32)
-    g = cv2.cvtColor(person_crop, cv2.COLOR_RGB2GRAY).astype(np.float32)
-    h = g.shape[0]
-    upper = g[: h // 2].mean() / 255.0
-    lower = g[h // 2:].mean() / 255.0
-    profile = cv2.resize(g, (1, 15)).reshape(-1) / 255.0
-    feat = np.concatenate([[min(aspect / 4.0, 1.0), upper, lower], profile])
-    return feat.astype(np.float32)
+        return feat
+    mask = _silhouette(person_crop)
+    if mask is None:
+        return feat
+    h = mask.shape[0]
+    widths = mask.mean(axis=1).astype(np.float32)          # [h] in 0..1
+    head_w = widths[: max(1, int(0.15 * h))].mean()
+    shoulder_w = widths[int(0.10 * h): max(int(0.10 * h) + 1,
+                                           int(0.35 * h))].max()
+    hip_w = widths[int(0.45 * h): max(int(0.45 * h) + 1,
+                                      int(0.65 * h))].mean()
+    feat[1] = min(shoulder_w / max(hip_w, 1e-3), 3.0) / 3.0
+    feat[2] = min(head_w / max(shoulder_w, 1e-3), 2.0) / 2.0
+    split = int(0.55 * h)
+    feat[3] = float(mask[:split].mean())                   # torso mass
+    feat[4] = float(mask[split:].mean())                   # leg mass
+    feat[5:] = cv2.resize(widths.reshape(-1, 1), (1, 12)).reshape(-1)
+    return feat
 
 
 def _cos(a: Optional[np.ndarray], b: Optional[np.ndarray]) -> Optional[float]:

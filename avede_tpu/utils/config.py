@@ -67,6 +67,9 @@ class Settings(BaseModel):
     BATCHING_EXECUTOR_ENABLED: bool = True  # coalesce concurrent crop embeds
     BATCHING_MAX_WAIT_MS: float = 4.0
     STREAM_CHUNK_FRAMES: int = 256          # decode→embed overlap chunk
+    SCAN_DEDUP_EPS: float = 1.5   # near-duplicate frame gate (mean abs
+    # diff, gray levels at 16×16); 0 disables — dup frames reuse their
+    # run representative's embedding instead of re-running the ViT
     DECODE_WORKERS: int = 0                 # parallel segment decode threads
     # (0 = auto: min(4, cpu_count); measured on this 1-core dev box
     # threading loses — ffmpeg contends with itself — while TPU-VM

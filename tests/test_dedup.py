@@ -1,0 +1,103 @@
+"""Duplicate-frame gating in the phase-1 scan (ops/dedup.py)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_test_video
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from avede_tpu.models.clip import init_clip, tiny_test_config
+    from avede_tpu.parallel.embed import ClipEngine
+
+    _, params = init_clip(tiny_test_config(), seed=0)
+    return ClipEngine(cfg=tiny_test_config(), params=params)
+
+
+class TestFrameDeduper:
+    def test_runs_collapse_to_representatives(self):
+        from avede_tpu.ops.dedup import FrameDeduper
+
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        b = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        frames = np.stack([a, a, a, b, b, a])
+        d = FrameDeduper(eps=1.5)
+        uniq = d.filter(frames)
+        assert len(uniq) == 3                      # a, b, a
+        assert d.mapping == [0, 0, 0, 1, 1, 2]
+        emb = np.arange(3, dtype=np.float32)[:, None] * np.ones((3, 4))
+        full = d.scatter(emb)
+        assert full.shape == (6, 4)
+        np.testing.assert_array_equal(full[:, 0], [0, 0, 0, 1, 1, 2])
+
+    def test_streaming_across_chunks(self):
+        from avede_tpu.ops.dedup import FrameDeduper
+
+        a = np.full((16, 16, 3), 40, np.uint8)
+        b = np.full((16, 16, 3), 200, np.uint8)
+        d = FrameDeduper(eps=1.5)
+        u1 = d.filter(np.stack([a, a]))
+        u2 = d.filter(np.stack([a, b]))     # first frame dups across chunk
+        assert len(u1) == 1 and len(u2) == 1
+        assert d.mapping == [0, 0, 0, 1]
+        assert d.n_unique == 2 and d.n_total == 4
+
+    def test_real_motion_never_merges(self):
+        from avede_tpu.ops.dedup import FrameDeduper
+
+        frames = []
+        for i in range(5):
+            f = np.zeros((64, 64, 3), np.uint8)
+            f[:, i * 12: i * 12 + 12] = 255
+            frames.append(f)
+        d = FrameDeduper(eps=1.5)
+        assert len(d.filter(np.stack(frames))) == 5
+
+    def test_scatter_length_mismatch_raises(self):
+        from avede_tpu.ops.dedup import FrameDeduper
+
+        d = FrameDeduper(eps=1.5)
+        d.filter(np.zeros((3, 8, 8, 3), np.uint8))
+        with pytest.raises(ValueError):
+            d.scatter(np.zeros((3, 4)))           # 3 frames → 1 unique
+
+
+class TestPhase1Dedup:
+    def test_static_video_scan_equivalent(self, engine, tmp_path,
+                                          monkeypatch):
+        """A static video scans to the same results with dedup on/off,
+        embedding only a handful of unique frames."""
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+        from avede_tpu.utils.config import settings
+
+        video = make_test_video(tmp_path / "static.mp4", n_frames=40,
+                                moving=False)
+        monkeypatch.setattr(settings, "SCAN_DEDUP_EPS", 0.0)
+        base = Phase1Scan(engine, cache=None).process_video(
+            video, "white square", top_k=4, threshold=-1.0)
+        monkeypatch.setattr(settings, "SCAN_DEDUP_EPS", 1.5)
+        dedup = Phase1Scan(engine, cache=None).process_video(
+            video, "white square", top_k=4, threshold=-1.0)
+        assert len(base) == len(dedup)
+        for r1, r2 in zip(base, dedup):
+            assert r1["window_index"] == r2["window_index"]
+            assert r1["confidence"] == pytest.approx(r2["confidence"],
+                                                     abs=1e-5)
+
+    def test_cache_key_isolated_by_eps(self, engine, tmp_path,
+                                       monkeypatch):
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+        from avede_tpu.utils.config import settings
+
+        video = make_test_video(tmp_path / "v.mp4", n_frames=30)
+        cache = EmbeddingCache(str(tmp_path / "emb"))
+        monkeypatch.setattr(settings, "SCAN_DEDUP_EPS", 1.5)
+        p = Phase1Scan(engine, cache=cache)
+        emb1, _ = p.frame_embeddings(video)
+        monkeypatch.setattr(settings, "SCAN_DEDUP_EPS", 0.0)
+        # different eps must NOT hit the dedup-tagged entry
+        emb2, _ = p.frame_embeddings(video)
+        assert emb1.shape == emb2.shape

@@ -45,7 +45,7 @@ class TestPhase1:
         cache = EmbeddingCache(str(tmp_path / "emb"))
         scan = Phase1Scan(tiny_engine, cache=cache)
         emb1, ts1 = scan.frame_embeddings(test_video, video_id="v1")
-        assert cache.get("v1", tiny_engine.model_tag, 1) is not None
+        assert cache.get("v1", scan.cache_tag(), 1) is not None
 
         # second call must not decode: break the reader to prove it
         scan.reader.extract_frames = None  # type: ignore
