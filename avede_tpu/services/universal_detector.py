@@ -196,21 +196,44 @@ class UniversalDetector:
                                      List[DetectionContext]] = None,
                                  adaptive: bool = True
                                  ) -> List[List[Dict]]:
-        """Frame-batch open-vocab detection in any reference mode."""
-        if detection_mode == "owlvit":
-            dets = self.detect_owlvit(frames, queries, conf_threshold)
-        elif detection_mode == "clip":
-            dets = self.clip_grid.detect(frames, queries, conf_threshold)
-        elif detection_mode == "yolo_enhanced":
-            dets = self.detect_yolo_enhanced(frames, queries,
-                                             conf_threshold)
-        elif detection_mode == "hybrid":
-            a = self.detect_owlvit(frames, queries, conf_threshold)
-            b = self.clip_grid.detect(frames, queries, conf_threshold)
-            dets = [merge_detections(x + y) for x, y in zip(a, b)]
-        else:
+        """Frame-batch open-vocab detection in any reference mode.
+
+        Near-duplicate consecutive frames (``SCAN_DEDUP_EPS``) run the
+        detectors once per run representative — detection towers
+        (OWL-ViT 768px, tiled YOLO) cost far more per frame than the
+        scan embed, so this is where the gate pays most on
+        surveillance-style footage."""
+        def run(fb) -> List[List[Dict]]:
+            if detection_mode == "owlvit":
+                return self.detect_owlvit(fb, queries, conf_threshold)
+            if detection_mode == "clip":
+                return self.clip_grid.detect(fb, queries, conf_threshold)
+            if detection_mode == "yolo_enhanced":
+                return self.detect_yolo_enhanced(fb, queries,
+                                                 conf_threshold)
+            if detection_mode == "hybrid":
+                a = self.detect_owlvit(fb, queries, conf_threshold)
+                b = self.clip_grid.detect(fb, queries, conf_threshold)
+                return [merge_detections(x + y) for x, y in zip(a, b)]
             raise ValueError(f"unknown detection mode '{detection_mode}' "
                              f"(expected one of {settings.DETECTION_MODES})")
+
+        eps = settings.SCAN_DEDUP_EPS
+        if eps > 0 and len(frames) > 1:
+            from ..ops.dedup import FrameDeduper
+
+            deduper = FrameDeduper(eps)
+            uniq = deduper.filter(np.asarray(frames))
+            if deduper.n_unique < deduper.n_total:
+                uniq_dets = run(uniq)
+                # fresh dicts per frame: adaptive thresholds below (and
+                # callers) mutate/annotate them per frame
+                dets = [[dict(d) for d in uniq_dets[m]]
+                        for m in deduper.mapping]
+            else:
+                dets = run(np.asarray(frames))
+        else:
+            dets = run(frames)
         if adaptive:
             dets = [
                 self.thresholds.apply(

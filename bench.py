@@ -178,9 +178,37 @@ def _overlap_benefit(model, params, cfg) -> dict:
     engine.embed_stream(
         f for f, _ in reader.stream_frames(video, chunk=256))
     stream_s = time.perf_counter() - t0
+
+    # duplicate-frame gating on surveillance-style footage (static scene
+    # with a 120-frame event): effective scan throughput when only run
+    # representatives hit the ViT (ops/dedup.py, SCAN_DEDUP_EPS).
+    video2 = os.path.join(tmp, "static.mp4")
+    w = cv2.VideoWriter(video2, cv2.VideoWriter_fourcc(*"mp4v"), 30.0,
+                        (512, 288))
+    for i in range(600):
+        f = base.copy()
+        if 200 <= i < 320:
+            f[100:180, (i * 4) % 400: (i * 4) % 400 + 80] = 255
+        w.write(f)
+    w.release()
+    from avede_tpu.ops.dedup import FrameDeduper
+
+    t0 = time.perf_counter()
+    deduper = FrameDeduper(eps=1.5)
+    chunks = (deduper.filter(f)
+              for f, _ in reader.stream_frames(video2, chunk=256))
+    emb = engine.embed_stream(c for c in chunks if len(c))
+    deduper.scatter(np.asarray(emb))
+    dedup_s = time.perf_counter() - t0
+
     return {"sequential_s": round(seq_s, 3),
             "streaming_s": round(stream_s, 3),
-            "speedup": round(seq_s / stream_s, 3)}
+            "speedup": round(seq_s / stream_s, 3),
+            "dedup_semi_static": {
+                "embedded_frames": deduper.n_unique,
+                "total_frames": deduper.n_total,
+                "wall_s": round(dedup_s, 3),
+                "effective_fps": round(deduper.n_total / dedup_s, 1)}}
 
 
 def _yolo_fps() -> float:

@@ -64,6 +64,42 @@ class TestFrameDeduper:
             d.scatter(np.zeros((3, 4)))           # 3 frames → 1 unique
 
 
+class TestDetectionDedup:
+    def test_detector_runs_once_per_duplicate_run(self, engine,
+                                                  monkeypatch):
+        """Static frame batches hit the detection tower once per run
+        representative, with per-frame result dicts kept independent."""
+        from avede_tpu.models.owlvit import init_owlvit, tiny_owlvit_config
+        from avede_tpu.services.universal_detector import UniversalDetector
+        from avede_tpu.utils.config import settings
+
+        ocfg = tiny_owlvit_config()
+        _, oparams = init_owlvit(ocfg, seed=0)
+        ud = UniversalDetector(engine, owlvit_cfg=ocfg,
+                               owlvit_params=oparams)
+        seen = []
+        orig = ud.detect_owlvit
+
+        def counting(fb, queries, thr):
+            seen.append(len(fb))
+            return orig(fb, queries, thr)
+
+        monkeypatch.setattr(ud, "detect_owlvit", counting)
+        monkeypatch.setattr(settings, "SCAN_DEDUP_EPS", 1.5)
+        frame = np.random.default_rng(0).integers(
+            0, 255, (32, 32, 3), dtype=np.uint8)
+        frames = np.stack([frame] * 6)
+        dets = ud.detect_unlimited_objects(frames, ["thing"],
+                                           detection_mode="owlvit",
+                                           conf_threshold=-1.0,
+                                           adaptive=False)
+        assert seen == [1]                      # one representative
+        assert len(dets) == 6
+        if dets[0]:
+            assert dets[0][0] is not dets[1][0]     # independent dicts
+            assert dets[0][0]["bbox"] == dets[1][0]["bbox"]
+
+
 class TestPhase1Dedup:
     def test_static_video_scan_equivalent(self, engine, tmp_path,
                                           monkeypatch):
