@@ -30,11 +30,12 @@ import json
 import threading
 import time
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..io.video_reader import VideoReader, probe_video
+from ..ops.dedup import FrameDeduper
 from ..parallel.embed import ClipEngine
 from ..utils.config import settings
 from ..utils.logging import get_logger
@@ -402,35 +403,57 @@ class PersonSearchService:
         frames, timestamps = self.reader.extract_frames(
             video_path, sample_rate=skip)
 
-        matches: List[PersonMatch] = []
-        frames_with_persons = 0
-        for lo in range(0, len(frames), batch):
+        # near-duplicate frames run detection + feature extraction once
+        # per run representative (GrabCut silhouettes and crop embeds
+        # are the host-side cost on static surveillance footage)
+        eps = settings.SCAN_DEDUP_EPS
+        deduper = (FrameDeduper(eps) if eps > 0 and len(frames) > 1
+                   else None)
+        scan_frames = (deduper.filter(np.asarray(frames))
+                       if deduper is not None else frames)
+
+        # per-unique-frame: (above-threshold candidates, any-person flag)
+        uniq: List[Tuple[List, bool]] = []
+        for lo in range(0, len(scan_frames), batch):
             if self.stop_event.is_set():
                 logger.info("Person search stopped by request")
                 break
-            fb = frames[lo: lo + batch]
+            fb = scan_frames[lo: lo + batch]
             dets_per_frame = self.detector.detect_persons(fb)
             for i, dets in enumerate(dets_per_frame):
-                if not dets:
-                    continue
-                frames_with_persons += 1
-                feats = self.detector.extract_features(
-                    fb[i], [d["bbox"] for d in dets])
-                for d, f in zip(dets, feats):
-                    sims = self.detector.similarity(ref, f)
-                    if sims["similarity"] >= thr:
-                        matches.append(PersonMatch(
-                            timestamp=float(timestamps[lo + i]),
-                            frame_index=lo + i,
-                            bbox=[float(v) for v in d["bbox"]],
-                            similarity=sims["similarity"],
-                            face_similarity=sims["face_similarity"],
-                            body_similarity=sims["body_similarity"],
-                            visual_similarity=sims["visual_similarity"],
-                            detection_method=d["method"]))
+                entry: List = []
+                if dets:
+                    feats = self.detector.extract_features(
+                        fb[i], [d["bbox"] for d in dets])
+                    for d, f in zip(dets, feats):
+                        sims = self.detector.similarity(ref, f)
+                        if sims["similarity"] >= thr:
+                            entry.append((d, sims))
+                uniq.append((entry, bool(dets)))
             if progress_callback:
-                progress_callback(min((lo + batch) / max(len(frames), 1),
-                                      1.0))
+                progress_callback(min((lo + batch)
+                                      / max(len(scan_frames), 1), 1.0))
+
+        matches: List[PersonMatch] = []
+        frames_with_persons = 0
+        mapping = (deduper.mapping if deduper is not None
+                   else list(range(len(frames))))
+        for fi, m in enumerate(mapping):
+            if m >= len(uniq):          # stop_event cut the scan short
+                break
+            entry, has_person = uniq[m]
+            if has_person:
+                frames_with_persons += 1
+            for d, sims in entry:
+                matches.append(PersonMatch(
+                    timestamp=float(timestamps[fi]),
+                    frame_index=fi,
+                    bbox=[float(v) for v in d["bbox"]],
+                    similarity=sims["similarity"],
+                    face_similarity=sims["face_similarity"],
+                    body_similarity=sims["body_similarity"],
+                    visual_similarity=sims["visual_similarity"],
+                    detection_method=d["method"]))
 
         if temporal_consistency and len(matches) > 2:
             matches = self._temporal_filter(matches)
