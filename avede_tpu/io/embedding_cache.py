@@ -5,10 +5,13 @@ The reference reserves ``data/embeddings/`` but never writes to it
 define the format. Defined here, versioned:
 
 ``<video_id>.npz`` (numpy zip) containing:
-- ``embeddings``  float32 [N, D] — unit-norm frame embeddings
+- ``embeddings``  float32 [N, D] — unit-norm frame embeddings, OR
+  (``settings.EMBEDDING_CACHE_INT8``, the default) ``embeddings_int8``
+  int8 [N, D] + ``scales`` f32 [N] — symmetric per-row quantization
+  (``ops/quant.py``), 4× smaller library storage at ≲1e-3 cosine error
 - ``timestamps``  float64 [N]    — seconds per sampled frame
 - ``meta``        JSON bytes     — {version, model_tag, frame_hw,
-                                    sample_rate, created}
+                                    sample_rate, dtype, created}
 
 A cache entry is valid only if model tag + sampling parameters match —
 the analog of the reference ModelCache's config-hash validation
@@ -42,25 +45,42 @@ class EmbeddingCache:
 
     def put(self, video_id: str, embeddings: np.ndarray,
             timestamps: List[float], model_tag: str,
-            frame_hw: Tuple[int, int], sample_rate: int) -> str:
+            frame_hw: Tuple[int, int], sample_rate: int) -> np.ndarray:
+        """Store the table; returns the CANONICAL stored values (the
+        int8 round trip when quantization is on), so callers that keep
+        using the table in memory agree exactly with later cache
+        reads — near-tie result ordering stays deterministic across
+        cold and warm queries."""
         emb = np.ascontiguousarray(np.asarray(embeddings, dtype=np.float32))
+        int8 = settings.EMBEDDING_CACHE_INT8
         meta = {
             "version": FORMAT_VERSION,
             "model_tag": model_tag,
             "frame_hw": list(frame_hw),
             "sample_rate": int(sample_rate),
+            "dtype": "int8" if int8 else "float32",
             "created": time.time(),
         }
         path = self._path(video_id)
-        np.savez_compressed(
-            path,
-            embeddings=emb,
-            timestamps=np.asarray(timestamps, dtype=np.float64),
-            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-        )
+        arrays = {
+            "timestamps": np.asarray(timestamps, dtype=np.float64),
+            "meta": np.frombuffer(json.dumps(meta).encode(),
+                                  dtype=np.uint8),
+        }
+        if int8 and len(emb):
+            from ..ops.quant import quantize_per_channel
+
+            q, scales = quantize_per_channel(emb.T)   # per-ROW scales
+            q, scales = np.asarray(q).T, np.asarray(scales)
+            arrays["embeddings_int8"] = q
+            arrays["scales"] = scales
+            emb = q.astype(np.float32) * scales[:, None]
+        else:
+            arrays["embeddings"] = emb
+        np.savez_compressed(path, **arrays)
         logger.info("Cached %d embeddings for %s (%s)", len(emb), video_id,
                     model_tag)
-        return str(path)
+        return emb
 
     def get(self, video_id: str, model_tag: str, sample_rate: int
             ) -> Optional[Tuple[np.ndarray, List[float]]]:
@@ -76,8 +96,12 @@ class EmbeddingCache:
                     logger.info("Embedding cache stale for %s "
                                 "(tag/rate/version mismatch)", video_id)
                     return None
-                return (np.asarray(z["embeddings"], np.float32),
-                        [float(t) for t in z["timestamps"]])
+                if "embeddings_int8" in z:
+                    emb = (z["embeddings_int8"].astype(np.float32)
+                           * z["scales"][:, None])
+                else:
+                    emb = np.asarray(z["embeddings"], np.float32)
+                return emb, [float(t) for t in z["timestamps"]]
         except (OSError, ValueError, KeyError, json.JSONDecodeError) as exc:
             logger.warning("Corrupt embedding cache for %s: %s", video_id, exc)
             return None

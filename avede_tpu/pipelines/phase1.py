@@ -96,8 +96,10 @@ class Phase1Scan:
                     deduper.n_unique, deduper.n_total,
                     100 * (1 - deduper.n_unique / deduper.n_total))
         if self.cache is not None:
-            self.cache.put(vid, emb, ts, tag, shape[0],
-                           self.reader.sample_rate)
+            # put returns the canonical stored values (int8 round trip
+            # when enabled) so cold and warm queries score identically
+            emb = self.cache.put(vid, emb, ts, tag, shape[0],
+                                 self.reader.sample_rate)
         return emb, ts
 
     # ------------------------------------------------------------------

@@ -95,8 +95,9 @@ class ImageMatcher:
         if emb is None:
             emb = self.engine.embed_frames(frames)
             if self.cache is not None and video_id is not None:
-                self.cache.put(video_id, emb, ts, self.engine.model_tag,
-                               frames.shape[1:3], self.reader.sample_rate)
+                emb = self.cache.put(
+                    video_id, emb, ts, self.engine.model_tag,
+                    frames.shape[1:3], self.reader.sample_rate)
         return frames, ts, emb
 
     def _result_key(self, video_id: str, image: np.ndarray, mode: str,

@@ -119,9 +119,11 @@ class TestClipWriter:
 
 
 class TestEmbeddingCache:
-    def test_roundtrip(self, tmp_path):
+    def test_roundtrip_float32(self, tmp_path, monkeypatch):
         from avede_tpu.io.embedding_cache import EmbeddingCache
+        from avede_tpu.utils.config import settings
 
+        monkeypatch.setattr(settings, "EMBEDDING_CACHE_INT8", False)
         c = EmbeddingCache(str(tmp_path))
         emb = np.random.default_rng(0).normal(size=(10, 8)).astype(np.float32)
         ts = [float(i) for i in range(10)]
@@ -130,6 +132,40 @@ class TestEmbeddingCache:
         assert got is not None
         np.testing.assert_array_equal(got[0], emb)
         assert got[1] == ts
+
+    def test_int8_roundtrip_preserves_cosine(self, tmp_path, monkeypatch):
+        """Default int8 entries: ≲1e-3 cosine drift, ~4× smaller raw
+        payload, retrieval ORDER preserved."""
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+        from avede_tpu.utils.config import settings
+
+        monkeypatch.setattr(settings, "EMBEDDING_CACHE_INT8", True)
+        c = EmbeddingCache(str(tmp_path))
+        rng = np.random.default_rng(1)
+        emb = rng.normal(size=(50, 64)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        c.put("v", emb, [float(i) for i in range(50)], "t", (64, 96), 1)
+        got, _ = c.get("v", "t", 1)
+        cos = (got * emb).sum(1) / (
+            np.linalg.norm(got, axis=1) * np.linalg.norm(emb, axis=1))
+        assert np.all(cos > 1 - 1e-3), 1 - cos.min()
+        q = rng.normal(size=(64,)).astype(np.float32)
+        assert np.argmax(emb @ q) == np.argmax(got @ q)
+
+    def test_int8_and_f32_entries_coexist(self, tmp_path, monkeypatch):
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+        from avede_tpu.utils.config import settings
+
+        c = EmbeddingCache(str(tmp_path))
+        emb = np.ones((3, 4), np.float32)
+        monkeypatch.setattr(settings, "EMBEDDING_CACHE_INT8", False)
+        c.put("f32", emb, [0., 1., 2.], "t", (64, 96), 1)
+        monkeypatch.setattr(settings, "EMBEDDING_CACHE_INT8", True)
+        c.put("i8", emb, [0., 1., 2.], "t", (64, 96), 1)
+        for vid in ("f32", "i8"):
+            got = c.get(vid, "t", 1)
+            assert got is not None
+            np.testing.assert_allclose(got[0], emb, atol=1e-2)
 
     def test_model_tag_mismatch_invalidates(self, tmp_path):
         from avede_tpu.io.embedding_cache import EmbeddingCache
