@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 import threading
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -79,6 +80,9 @@ class ClipEngine:
         # must not race (the reference guards model loads the same way,
         # universal_detector.py:118)
         self._lock = threading.Lock()
+        # LRU text-embedding cache: serving repeats the same queries;
+        # a hit skips tokenize + text-tower forward entirely
+        self._text_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
 
     @property
     def model_tag(self) -> str:
@@ -200,21 +204,43 @@ class ClipEngine:
 
     # ------------------------------------------------------------------
     def embed_texts(self, texts: Sequence[str] | str) -> np.ndarray:
-        """→ unit-norm float32 [Q, D]."""
+        """→ unit-norm float32 [Q, D]. Per-text LRU cache: repeated
+        serving queries skip tokenize + text tower."""
         if isinstance(texts, str):
             texts = [texts]
-        ids = self.tokenizer(list(texts))
-        if self._text_fn is None:
-            model = self.model
+        texts = list(texts)
+        cap = settings.TEXT_EMBED_CACHE
+        with self._lock:
+            hits = {t: self._text_cache[t] for t in texts
+                    if t in self._text_cache}
+        misses = [t for t in texts if t not in hits]
+        if misses:
+            ids = self.tokenizer(misses)
+            if self._text_fn is None:
+                model = self.model
 
-            @jax.jit
-            def run(params, ids):
-                return model.apply({"params": params}, ids,
-                                   method=model.encode_text)
+                @jax.jit
+                def run(params, ids):
+                    return model.apply({"params": params}, ids,
+                                       method=model.encode_text)
 
-            self._text_fn = run
-        return np.asarray(self._text_fn(self.params, jnp.asarray(ids)),
-                          np.float32)
+                self._text_fn = run
+            fresh = np.asarray(self._text_fn(self.params,
+                                             jnp.asarray(ids)), np.float32)
+            with self._lock:
+                for t, e in zip(misses, fresh):
+                    hits[t] = e
+                    if cap > 0:
+                        self._text_cache[t] = e
+                        self._text_cache.move_to_end(t)
+                        while len(self._text_cache) > cap:
+                            self._text_cache.popitem(last=False)
+        else:
+            with self._lock:
+                for t in texts:
+                    if t in self._text_cache:
+                        self._text_cache.move_to_end(t)
+        return np.stack([hits[t] for t in texts])
 
     def embed_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
         """Convenience for reference images / crops of heterogeneous

@@ -57,6 +57,38 @@ class TestShardedEmbed:
         np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0,
                                    atol=1e-5)
 
+    def test_text_embedding_lru_cache(self, tiny_clip):
+        """Repeated queries skip the text tower; mixed hit/miss batches
+        keep order; capacity evicts oldest."""
+        from avede_tpu.models.clip import tiny_test_config
+        from avede_tpu.parallel.embed import ClipEngine
+        from avede_tpu.parallel.mesh import build_mesh
+
+        _, params = tiny_clip
+        e = ClipEngine(cfg=tiny_test_config(), params=params,
+                       mesh=build_mesh())
+        first = e.embed_texts(["a dog", "a cat"])
+        calls = []
+        orig_fn = e._text_fn
+
+        def counting(p, ids):
+            calls.append(np.asarray(ids).shape[0])
+            return orig_fn(p, ids)
+
+        e._text_fn = counting
+        again = e.embed_texts(["a cat", "a bird", "a dog"])
+        assert calls == [1]                       # only "a bird" encoded
+        np.testing.assert_array_equal(again[0], first[1])
+        np.testing.assert_array_equal(again[2], first[0])
+        # pure-hit batch: no tower call
+        calls.clear()
+        e.embed_texts(["a dog", "a cat", "a bird"])
+        assert calls == []
+        # capacity bound honored
+        from avede_tpu.utils.config import settings
+
+        assert len(e._text_cache) <= settings.TEXT_EMBED_CACHE
+
 
 class TestTrainStep:
     def test_dp_tp_train_step_decreases_loss(self):
