@@ -35,6 +35,19 @@ logger = get_logger(__name__)
 FORMAT_VERSION = 1
 
 
+def table_tag(model_tag: str) -> str:
+    """Model tag for per-frame embedding TABLES.
+
+    Dedup gating changes table values (dup frames carry their run
+    representative's embedding), so the eps is part of the key. Every
+    producer/consumer of ``<video_id>.npz`` tables (Phase1Scan,
+    ImageMatcher, library search) must use THIS function — divergent
+    tags on the same file would make the paths perpetually invalidate
+    and overwrite each other's entries."""
+    eps = settings.SCAN_DEDUP_EPS
+    return f"{model_tag}|dedup{eps:g}" if eps > 0 else model_tag
+
+
 class EmbeddingCache:
     def __init__(self, cache_dir: Optional[str] = None) -> None:
         self.dir = Path(cache_dir or settings.EMBEDDING_DIR)

@@ -209,10 +209,15 @@ class ClipEngine:
         if isinstance(texts, str):
             texts = [texts]
         texts = list(texts)
+        if not texts:
+            return np.zeros((0, self.cfg.projection_dim), np.float32)
         cap = settings.TEXT_EMBED_CACHE
         with self._lock:
-            hits = {t: self._text_cache[t] for t in texts
-                    if t in self._text_cache}
+            hits = {}
+            for t in texts:
+                if t in self._text_cache:
+                    hits[t] = self._text_cache[t]
+                    self._text_cache.move_to_end(t)
         misses = [t for t in texts if t not in hits]
         if misses:
             ids = self.tokenizer(misses)
@@ -235,11 +240,6 @@ class ClipEngine:
                         self._text_cache.move_to_end(t)
                         while len(self._text_cache) > cap:
                             self._text_cache.popitem(last=False)
-        else:
-            with self._lock:
-                for t in texts:
-                    if t in self._text_cache:
-                        self._text_cache.move_to_end(t)
         return np.stack([hits[t] for t in texts])
 
     def embed_images(self, images: Sequence[np.ndarray]) -> np.ndarray:

@@ -45,12 +45,11 @@ class Phase1Scan:
             EmbeddingCache() if settings.EMBEDDING_CACHE_ENABLED else None)
 
     def cache_tag(self) -> str:
-        """Embedding-cache model tag; dedup gating changes table values
-        (dup frames carry their representative's embedding), so the eps
-        is part of the key."""
-        eps = settings.SCAN_DEDUP_EPS
-        return (f"{self.engine.model_tag}|dedup{eps:g}" if eps > 0
-                else self.engine.model_tag)
+        """Embedding-cache model tag (shared with every other table
+        producer — see ``io.embedding_cache.table_tag``)."""
+        from ..io.embedding_cache import table_tag
+
+        return table_tag(self.engine.model_tag)
 
     # ------------------------------------------------------------------
     def frame_embeddings(self, video_path: str, video_id: Optional[str] = None

@@ -131,6 +131,22 @@ class EffNetExtractor:
         return np.asarray(self._run(self.variables, sized))
 
 
+_EFFNET_CACHE: Dict[str, EffNetExtractor] = {}
+
+
+def get_effnet_extractor() -> Optional[EffNetExtractor]:
+    """Process-wide extractor for ``settings.FEATURE_EXTRACTOR_WEIGHTS``
+    — services are constructed per request in some paths, and each
+    fresh extractor would reload the .npz AND re-trace the full B0
+    graph (seconds of XLA compile, minutes over a remote tunnel)."""
+    path = settings.FEATURE_EXTRACTOR_WEIGHTS
+    if not path:
+        return None
+    if path not in _EFFNET_CACHE:
+        _EFFNET_CACHE[path] = EffNetExtractor(weights_path=path)
+    return _EFFNET_CACHE[path]
+
+
 class BackgroundIndependentService:
     def __init__(self, engine: ClipEngine,
                  reader: Optional[VideoReader] = None,
@@ -139,10 +155,8 @@ class BackgroundIndependentService:
         self.engine = engine
         self.reader = reader or VideoReader()
         self._detector = detector
-        if effnet is None and settings.FEATURE_EXTRACTOR_WEIGHTS:
-            effnet = EffNetExtractor(
-                weights_path=settings.FEATURE_EXTRACTOR_WEIGHTS)
-        self.effnet = effnet
+        self.effnet = effnet if effnet is not None else \
+            get_effnet_extractor()
 
     # ------------------------------------------------------------------
     def extract_features(self, image: np.ndarray, bbox: Sequence[float],

@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..io.embedding_cache import EmbeddingCache
+from ..io.embedding_cache import EmbeddingCache, table_tag
 from ..io.video_reader import VideoReader
 from ..ops import image_feats as F
 from ..parallel.embed import ClipEngine
@@ -87,16 +87,19 @@ class ImageMatcher:
         frames, ts = self.reader.extract_frames(video_path)
         vid = video_id or video_path
         emb = None
+        # table_tag, NOT bare model_tag: Phase1 writes the same
+        # <video_id>.npz — divergent tags would make text-scan and
+        # image-match perpetually clobber each other's warm entry
+        tag = table_tag(self.engine.model_tag)
         if self.cache is not None and video_id is not None:
-            hit = self.cache.get(video_id, self.engine.model_tag,
-                                 self.reader.sample_rate)
+            hit = self.cache.get(video_id, tag, self.reader.sample_rate)
             if hit is not None and len(hit[0]) == len(frames):
                 emb = hit[0]
         if emb is None:
             emb = self.engine.embed_frames(frames)
             if self.cache is not None and video_id is not None:
                 emb = self.cache.put(
-                    video_id, emb, ts, self.engine.model_tag,
+                    video_id, emb, ts, tag,
                     frames.shape[1:3], self.reader.sample_rate)
         return frames, ts, emb
 

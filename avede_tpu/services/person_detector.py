@@ -163,12 +163,14 @@ def body_feature(person_crop: np.ndarray, bbox: Sequence[float]
     x0, y0, x1, y1 = bbox
     aspect = (y1 - y0) / max(x1 - x0, 1e-3)
     feat = np.zeros(17, np.float32)
-    feat[0] = min(aspect / 4.0, 1.0)
-    if person_crop.size == 0:
-        return feat
-    mask = _silhouette(person_crop)
+    mask = _silhouette(person_crop) if person_crop.size else None
     if mask is None:
+        # all-zeros, NOT aspect-only: a lone nonzero component would
+        # make any two failed crops cosine-identical (1.0) and inject a
+        # constant body term; zeros → _cos returns None → the modality
+        # is renormalized away for this detection
         return feat
+    feat[0] = min(aspect / 4.0, 1.0)
     h = mask.shape[0]
     widths = mask.mean(axis=1).astype(np.float32)          # [h] in 0..1
     head_w = widths[: max(1, int(0.15 * h))].mean()

@@ -47,8 +47,11 @@ class SmallObjectService:
         self._detector = detector
         # keep native resolution: small objects die in downscaling
         self.reader = reader or VideoReader(max_side=4096)
-        self.tile = tile or settings.TILE_SIZE
-        self.overlap = overlap or settings.TILE_OVERLAP
+        # `is not None`, not `or`: an explicit overlap=0 (no tile
+        # overlap) is a valid configuration and must not be swallowed
+        self.tile = tile if tile is not None else settings.TILE_SIZE
+        self.overlap = (overlap if overlap is not None
+                        else settings.TILE_OVERLAP)
         self.proposals = RegionProposalService()
         self.thresholds = AdaptiveThresholdSystem()
 
@@ -67,9 +70,12 @@ class SmallObjectService:
                         enable_adaptive_thresholds: bool = True,
                         detection_mode: str = "clip") -> List[Dict]:
         tiles, offsets = tile_frame(frame, self.tile, self.overlap)
+        # dedup=False: tiles are SPATIAL crops of one frame — a blank
+        # background tile must not inherit (or donate) detections from
+        # a near-identical neighbor at a different offset
         dets_per_tile = self.detector.detect_unlimited_objects(
             tiles, list(queries), detection_mode=detection_mode,
-            conf_threshold=conf_threshold, adaptive=False)
+            conf_threshold=conf_threshold, adaptive=False, dedup=False)
         dets: List[Dict] = []
         for t, tile_dets in enumerate(dets_per_tile):
             oy, ox = offsets[t]
@@ -176,7 +182,9 @@ class SmallObjectService:
         """Re-score with background-removed crop embeddings."""
         from .background_independent import BackgroundIndependentService
 
-        bg = BackgroundIndependentService(self.engine)
+        if getattr(self, "_bg_service", None) is None:
+            self._bg_service = BackgroundIndependentService(self.engine)
+        bg = self._bg_service
         text = self.engine.embed_texts(list(queries))
         for d in results:
             frame = frames[d["frame_index"]]

@@ -194,7 +194,8 @@ class UniversalDetector:
                                  conf_threshold: float = 0.3,
                                  contexts: Optional[
                                      List[DetectionContext]] = None,
-                                 adaptive: bool = True
+                                 adaptive: bool = True,
+                                 dedup: bool = True
                                  ) -> List[List[Dict]]:
         """Frame-batch open-vocab detection in any reference mode.
 
@@ -202,7 +203,10 @@ class UniversalDetector:
         detectors once per run representative — detection towers
         (OWL-ViT 768px, tiled YOLO) cost far more per frame than the
         scan embed, so this is where the gate pays most on
-        surveillance-style footage."""
+        surveillance-style footage. Callers whose batch is NOT
+        temporally consecutive frames (e.g. SPATIAL tiles of one frame,
+        where near-identical background tiles must still be scored at
+        their own offsets) pass ``dedup=False``."""
         def run(fb) -> List[List[Dict]]:
             if detection_mode == "owlvit":
                 return self.detect_owlvit(fb, queries, conf_threshold)
@@ -218,7 +222,7 @@ class UniversalDetector:
             raise ValueError(f"unknown detection mode '{detection_mode}' "
                              f"(expected one of {settings.DETECTION_MODES})")
 
-        eps = settings.SCAN_DEDUP_EPS
+        eps = settings.SCAN_DEDUP_EPS if dedup else 0.0
         if eps > 0 and len(frames) > 1:
             from ..ops.dedup import FrameDeduper
 

@@ -100,6 +100,35 @@ class TestDetectionDedup:
             assert dets[0][0]["bbox"] == dets[1][0]["bbox"]
 
 
+    def test_spatial_tiles_never_deduped(self, engine, monkeypatch):
+        """SmallObjectService tiles are SPATIAL crops of one frame — a
+        blank background tile next to a near-identical one must still
+        be scored at its own offset (regression: the dedup gate used to
+        fire on tile batches, dropping/fabricating small objects)."""
+        from avede_tpu.services.small_object import SmallObjectService
+        from avede_tpu.services.universal_detector import UniversalDetector
+        from avede_tpu.utils.config import settings
+
+        monkeypatch.setattr(settings, "SCAN_DEDUP_EPS", 1.5)
+        ud = UniversalDetector(engine)
+        seen = []
+        orig = ud.clip_grid.detect
+
+        def counting(fb, queries, thr):
+            seen.append(len(fb))
+            return orig(fb, queries, thr)
+
+        monkeypatch.setattr(ud.clip_grid, "detect", counting)
+        svc = SmallObjectService(engine, detector=ud, tile=32, overlap=0)
+        frame = np.full((64, 64, 3), 30, np.uint8)   # 4 identical tiles
+        frame[40:52, 40:52] = 255                    # object in ONE tile
+        svc.detect_in_frame(frame, ["bright square"],
+                            conf_threshold=-1.0, enable_rpn=False,
+                            enable_adaptive_thresholds=False,
+                            detection_mode="clip")
+        assert sum(seen) == 4                        # every tile scored
+
+
 class TestPhase1Dedup:
     def test_static_video_scan_equivalent(self, engine, tmp_path,
                                           monkeypatch):

@@ -88,6 +88,19 @@ class TestShardedEmbed:
         from avede_tpu.utils.config import settings
 
         assert len(e._text_cache) <= settings.TEXT_EMBED_CACHE
+        # empty input: [0, D] like the pre-cache behavior, no raise
+        assert e.embed_texts([]).shape == (0, 32)
+        # mixed hit/miss batches refresh hit recency: a hot key used in
+        # every batch must survive a stream of one-shot misses
+        import avede_tpu.utils.config as _cfgmod
+        old = settings.TEXT_EMBED_CACHE
+        try:
+            settings.TEXT_EMBED_CACHE = 4
+            for i in range(10):
+                e.embed_texts(["a dog", f"one-shot {i}"])
+            assert "a dog" in e._text_cache
+        finally:
+            settings.TEXT_EMBED_CACHE = old
 
 
 class TestTrainStep:
