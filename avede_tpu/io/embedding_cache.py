@@ -21,7 +21,9 @@ the analog of the reference ModelCache's config-hash validation
 from __future__ import annotations
 
 import json
+import threading
 import time
+from collections import OrderedDict
 from pathlib import Path
 from typing import List, Optional, Tuple
 
@@ -52,9 +54,38 @@ class EmbeddingCache:
     def __init__(self, cache_dir: Optional[str] = None) -> None:
         self.dir = Path(cache_dir or settings.EMBEDDING_DIR)
         self.dir.mkdir(parents=True, exist_ok=True)
+        # in-memory tier (reference ModelCache's two-tier design,
+        # model_cache.py:233-413): library search hits every table per
+        # query — without this, each warm query re-reads and
+        # re-dequantizes every .npz from disk. Bounded by bytes, LRU.
+        self._mem: "OrderedDict[tuple, Tuple[np.ndarray, List[float]]]" \
+            = OrderedDict()
+        self._mem_bytes = 0
+        self._mem_lock = threading.Lock()
 
     def _path(self, video_id: str) -> Path:
         return self.dir / f"{video_id}.npz"
+
+    def _mem_put(self, key: tuple, emb: np.ndarray,
+                 ts: List[float]) -> None:
+        cap = settings.EMBEDDING_MEM_CACHE_MB * (1 << 20)
+        if cap <= 0 or emb.nbytes > cap:
+            return
+        with self._mem_lock:
+            if key in self._mem:
+                self._mem_bytes -= self._mem[key][0].nbytes
+                del self._mem[key]
+            self._mem[key] = (emb, ts)
+            self._mem_bytes += emb.nbytes
+            while self._mem_bytes > cap and self._mem:
+                _, (old, _ts) = self._mem.popitem(last=False)
+                self._mem_bytes -= old.nbytes
+
+    def _mem_drop(self, video_id: str) -> None:
+        with self._mem_lock:
+            for key in [k for k in self._mem if k[0] == video_id]:
+                self._mem_bytes -= self._mem[key][0].nbytes
+                del self._mem[key]
 
     def put(self, video_id: str, embeddings: np.ndarray,
             timestamps: List[float], model_tag: str,
@@ -91,12 +122,23 @@ class EmbeddingCache:
         else:
             arrays["embeddings"] = emb
         np.savez_compressed(path, **arrays)
+        ts_list = [float(t) for t in timestamps]
+        # one file per video: entries under any other tag/rate are now
+        # stale in the memory tier too
+        self._mem_drop(video_id)
+        self._mem_put((video_id, model_tag, int(sample_rate)), emb, ts_list)
         logger.info("Cached %d embeddings for %s (%s)", len(emb), video_id,
                     model_tag)
         return emb
 
     def get(self, video_id: str, model_tag: str, sample_rate: int
             ) -> Optional[Tuple[np.ndarray, List[float]]]:
+        key = (video_id, model_tag, int(sample_rate))
+        with self._mem_lock:
+            if key in self._mem:
+                self._mem.move_to_end(key)
+                emb, ts = self._mem[key]
+                return emb, list(ts)
         path = self._path(video_id)
         if not path.exists():
             return None
@@ -114,12 +156,15 @@ class EmbeddingCache:
                            * z["scales"][:, None])
                 else:
                     emb = np.asarray(z["embeddings"], np.float32)
-                return emb, [float(t) for t in z["timestamps"]]
+                ts = [float(t) for t in z["timestamps"]]
+                self._mem_put(key, emb, ts)
+                return emb, ts
         except (OSError, ValueError, KeyError, json.JSONDecodeError) as exc:
             logger.warning("Corrupt embedding cache for %s: %s", video_id, exc)
             return None
 
     def invalidate(self, video_id: str) -> None:
+        self._mem_drop(video_id)
         self._path(video_id).unlink(missing_ok=True)
 
     def stats(self) -> dict:

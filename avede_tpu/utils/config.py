@@ -68,6 +68,7 @@ class Settings(BaseModel):
     BATCHING_MAX_WAIT_MS: float = 4.0
     STREAM_CHUNK_FRAMES: int = 256          # decode→embed overlap chunk
     TEXT_EMBED_CACHE: int = 512   # LRU entries; 0 disables
+    EMBEDDING_MEM_CACHE_MB: int = 256   # in-memory table tier; 0 disables
     EMBEDDING_CACHE_INT8: bool = True   # per-row int8 cache entries
     # (4× smaller library storage, ≲1e-3 cosine error; ops/quant.py)
     SCAN_DEDUP_EPS: float = 1.5   # near-duplicate frame gate (mean abs

@@ -152,6 +152,34 @@ class TestEmbeddingCache:
         q = rng.normal(size=(64,)).astype(np.float32)
         assert np.argmax(emb @ q) == np.argmax(got @ q)
 
+    def test_memory_tier(self, tmp_path, monkeypatch):
+        """Warm get() is served from RAM (no disk read), capacity
+        evicts by bytes, put/invalidate drop stale entries."""
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+        from avede_tpu.utils.config import settings
+
+        c = EmbeddingCache(str(tmp_path))
+        emb = np.ones((4, 8), np.float32)
+        c.put("v", emb, [0.] * 4, "t", (64, 96), 1)
+        # delete the file: a mem hit must still serve it
+        c._path("v").unlink()
+        got = c.get("v", "t", 1)
+        assert got is not None and got[0].shape == (4, 8)
+        # stale-tag lookups miss (and the file is gone)
+        assert c.get("v", "OTHER", 1) is None
+        # re-put under a new tag drops the old mem entry
+        c.put("v", emb, [0.] * 4, "t2", (64, 96), 1)
+        assert c.get("v", "t", 1) is None
+        assert c.get("v", "t2", 1) is not None
+        # invalidate drops both tiers
+        c.invalidate("v")
+        assert c.get("v", "t2", 1) is None
+        # capacity bound: entries bigger than the cap are not admitted
+        monkeypatch.setattr(settings, "EMBEDDING_MEM_CACHE_MB", 0)
+        c.put("w", emb, [0.] * 4, "t", (64, 96), 1)
+        assert len(c._mem) == 0
+        assert c.get("w", "t", 1) is not None      # disk still works
+
     def test_int8_and_f32_entries_coexist(self, tmp_path, monkeypatch):
         from avede_tpu.io.embedding_cache import EmbeddingCache
         from avede_tpu.utils.config import settings
