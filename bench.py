@@ -59,17 +59,34 @@ def main() -> None:
     for _ in range(2):
         np.asarray(scan(params, frames_dev, query))
 
-    # best-of-2 trials: the remote-tunnel round-trip adds jitter that a
-    # single trial can't average out
-    reps = 6
+    # THROUGHPUT measurement, matching how the product consumes the
+    # program (``ClipEngine.embed_stream``: batches dispatch async,
+    # back-to-back; only the final result materializes on host). Batches
+    # are queued without intermediate host syncs and ONE block covers
+    # the trial — TPU execution is in-order, so completion of the last
+    # batch implies all finished. Syncing per batch instead (the round-1
+    # methodology) charges one full host→device round-trip to every
+    # batch, which on the tunneled axon chip is ~10 ms of pure RTT —
+    # measured 4.4k fps vs 6.4k fps for the identical device program
+    # (tools/profile_scan.py decomposition).
+    reps = 8
     best_dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
+        out = None
         for _ in range(reps):
-            scores = np.asarray(scan(params, frames_dev, query))
+            out = scan(params, frames_dev, query)
+        jax.block_until_ready(out)
         best_dt = min(best_dt, (time.perf_counter() - t0) / reps)
     dt = best_dt
     fps = batch / dt
+
+    # per-batch sync latency (old methodology) kept for transparency:
+    # it bounds single-batch serving latency including the host RTT.
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(scan(params, frames_dev, query))
+    sync_ms = round((time.perf_counter() - t0) / 3 * 1000, 2)
 
     # secondary: warm end-to-end query latency on a 600-frame table
     # (10-min video @1 fps) — embeddings resident, score+topk+gather.
@@ -126,6 +143,9 @@ def main() -> None:
         "detail": {
             "batch": batch,
             "seconds_per_batch": round(dt, 4),
+            "methodology": "pipelined dispatch (async queue, one block "
+                           "per trial) — matches ClipEngine.embed_stream",
+            "per_batch_sync_ms": sync_ms,
             "device": str(dev),
             "model": "ViT-B/32 bf16",
             "input": "uint8 512x288 (decoded 1080p)",

@@ -13,9 +13,13 @@ import argparse
 import dataclasses
 import itertools
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def measure(batch: int, dtype: str, method: str, donate: bool,
@@ -45,22 +49,30 @@ def measure(batch: int, dtype: str, method: str, donate: bool,
     query = jnp.asarray(np.random.default_rng(1).normal(
         size=(cfg.projection_dim,)).astype(np.float32))
 
+    # pipelined-throughput methodology (same as bench.py): batches
+    # dispatch back-to-back with one block per trial, so the tunnel's
+    # per-call host RTT is amortized exactly as the product's
+    # embed_stream amortizes it.
     def once():
         fd = jnp.asarray(frames)  # re-transfer when donating
-        return np.asarray(fn(params, fd, query))
+        return fn(params, fd, query)
 
-    fd = None
     if not donate:
         fd = jnp.asarray(frames)
-        run = lambda: np.asarray(fn(params, fd, query))
+        run = lambda: fn(params, fd, query)
     else:
         run = once
     for _ in range(2):
-        run()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        run()
-    return batch / ((time.perf_counter() - t0) / reps)
+        np.asarray(run())
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = run()
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return batch / best
 
 
 def main() -> None:
