@@ -327,6 +327,87 @@ class BlipCaptioner(nn.Module):
             step, (tokens0, caches, done0), jnp.arange(max_len - 1))
         return tokens
 
+    def generate_beam(self, pixels: jax.Array, num_beams: int = 3,
+                      max_len: Optional[int] = None,
+                      length_penalty: float = 1.0) -> jax.Array:
+        """Beam-search caption ids [B, max_len] — one XLA program.
+
+        The reference's captioner delegates decoding to HF
+        ``model.generate`` (``blip_model.py:351``), which carries beam
+        search; this is the TPU-native equivalent: static shapes
+        throughout, a ``lax.scan`` over decode steps, per-layer KV
+        caches reordered by beam with one gather per step. Finished
+        beams emit PAD with frozen scores; the winner is picked by
+        ``score / len(generated)**length_penalty`` (HF semantics).
+        ``num_beams=1`` reduces to greedy (tested equivalent).
+        """
+        cfg = self.cfg
+        K = num_beams
+        max_len = max_len or cfg.max_caption_len
+        B = pixels.shape[0]
+        h = cfg.text_heads
+        hd = cfg.text_dim // h
+
+        v = self.vision(pixels)                       # [B, P, D]
+        vK = jnp.repeat(v, K, axis=0)                 # [B·K, P, D]
+
+        caches = [(jnp.zeros((B * K, max_len, h, hd), cfg.jnp_dtype),
+                   jnp.zeros((B * K, max_len, h, hd), cfg.jnp_dtype))
+                  for _ in range(cfg.text_depth)]
+        tokens0 = jnp.full((B, K, max_len), cfg.pad_token_id, jnp.int32)
+        tokens0 = tokens0.at[:, :, 0].set(cfg.bos_token_id)
+        # only beam 0 live at t=0 — all beams share the BOS prefix, so
+        # seeding the rest at -inf avoids K duplicates of the same path
+        scores0 = jnp.full((B, K), -jnp.inf, jnp.float32).at[:, 0].set(0.0)
+        done0 = jnp.zeros((B, K), bool)
+        lens0 = jnp.zeros((B, K), jnp.int32)          # generated tokens
+
+        batch_off = (jnp.arange(B) * K)[:, None]      # [B, 1]
+
+        def step(carry, t):
+            tokens, caches, scores, done, lens = carry
+            cur = jax.lax.dynamic_slice(
+                tokens, (0, 0, t), (B, K, 1)).reshape(B * K, 1)
+            logits, caches = self.text(cur, vK, position_offset=t,
+                                       kv_caches=caches, cache_index=t)
+            logp = jax.nn.log_softmax(logits[:, 0, :])        # [B·K, V]
+            V = logp.shape[-1]
+            logp = logp.reshape(B, K, V)
+            # finished beams may only extend with PAD, at zero cost —
+            # their cumulative score competes unchanged in the top-k
+            pad_only = jnp.full((V,), -jnp.inf, jnp.float32
+                                ).at[cfg.pad_token_id].set(0.0)
+            logp = jnp.where(done[..., None], pad_only[None, None], logp)
+            cand = scores[..., None] + logp                    # [B, K, V]
+            new_scores, flat_idx = jax.lax.top_k(
+                cand.reshape(B, K * V), K)                     # [B, K]
+            src = flat_idx // V                                # [B, K]
+            tok = (flat_idx % V).astype(jnp.int32)             # [B, K]
+
+            # reorder beam state by surviving-parent index
+            tokens = jnp.take_along_axis(tokens, src[..., None], axis=1)
+            done = jnp.take_along_axis(done, src, axis=1)
+            lens = jnp.take_along_axis(lens, src, axis=1)
+            gather = (batch_off + src).reshape(B * K)          # [B·K]
+            caches = [(ck[gather], cv[gather]) for ck, cv in caches]
+
+            lens = lens + (~done).astype(jnp.int32)
+            done = done | (tok == cfg.eos_token_id)
+            write = jnp.minimum(t + 1, max_len - 1)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, tok[..., None], (0, 0, write))
+            return (tokens, caches, new_scores, done, lens), None
+
+        (tokens, _, scores, done, lens), _ = jax.lax.scan(
+            step, (tokens0, caches, scores0, done0, lens0),
+            jnp.arange(max_len - 1))
+
+        norm = scores / jnp.maximum(lens, 1).astype(
+            jnp.float32) ** length_penalty
+        best = jnp.argmax(norm, axis=1)                        # [B]
+        return jnp.take_along_axis(
+            tokens, best[:, None, None], axis=1)[:, 0]
+
 
 def init_blip(cfg: Optional[BlipConfig] = None, seed: int = 0):
     cfg = cfg or blip_base()

@@ -58,17 +58,26 @@ class CaptionService:
         self._gen_fns = {}
 
     def _gen_fn(self, n: int):
-        if n not in self._gen_fns:
+        # compiled per (input shape, num_beams): the decode strategy is
+        # part of the program (HF generate's num_beams analog)
+        beams = max(1, int(settings.CAPTION_NUM_BEAMS))
+        key = (n, beams)
+        if key not in self._gen_fns:
             model, size = self.model, self.cfg.image_size
+            penalty = float(settings.CAPTION_LENGTH_PENALTY)
 
             @jax.jit
             def run(params, frames_u8):
                 px = blip_preprocess(frames_u8, size=size)
-                return model.apply({"params": params}, px,
-                                   method=model.generate)
+                if beams == 1:
+                    return model.apply({"params": params}, px,
+                                       method=model.generate)
+                return model.apply({"params": params}, px, beams,
+                                   length_penalty=penalty,
+                                   method=model.generate_beam)
 
-            self._gen_fns[n] = run
-        return self._gen_fns[n]
+            self._gen_fns[key] = run
+        return self._gen_fns[key]
 
     def caption_frames(self, frames: np.ndarray) -> List[str]:
         """uint8 [N, H, W, 3] → N caption strings (whole batch decodes in

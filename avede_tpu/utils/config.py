@@ -52,6 +52,8 @@ class Settings(BaseModel):
     CLIP_WEIGHTS: Optional[str] = None      # path to converted .npz / torch ckpt
     BLIP_MODEL: str = "blip-base"
     BLIP_WEIGHTS: Optional[str] = None
+    CAPTION_NUM_BEAMS: int = 1              # 1 = greedy; >1 = beam search
+    CAPTION_LENGTH_PENALTY: float = 1.0
     UNIVTG_WEIGHTS: Optional[str] = None
     YOLO_MODEL_SIZE: str = "n"
     YOLO_WEIGHTS: Optional[str] = None

@@ -88,6 +88,34 @@ class TestBlipParity:
             assert ref_toks[:n] == got_toks[:n], (
                 f"batch {b}: {ref_toks} vs {got_toks}")
 
+    def test_beam_generate_matches_hf(self, blip_pair):
+        """HF generate(num_beams=3) vs generate_beam on the same tiny
+        checkpoint/input (deterministic — fixed seeds). HF's beam
+        scorer differs in bookkeeping detail (2K candidate pool,
+        done-hypothesis set) but on this input both find the same
+        sequence; guards the decode against semantic drift."""
+        hf, model, params, cfg = blip_pair
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            ref = hf.generate(
+                pixel_values=torch.tensor(x.transpose(0, 3, 1, 2)),
+                max_length=cfg.max_caption_len, num_beams=3,
+                do_sample=False, length_penalty=1.0).numpy()
+        got = np.asarray(model.apply({"params": params}, x, 3,
+                                     length_penalty=1.0,
+                                     method=model.generate_beam))
+        for b in range(2):
+            ref_toks = [t for t in ref[b].tolist()[1:]
+                        if t != cfg.pad_token_id]
+            got_toks = [t for t in got[b].tolist()[1:]
+                        if t != cfg.pad_token_id]
+            n = min(len(ref_toks), len(got_toks))
+            assert n > 0
+            assert ref_toks[:n] == got_toks[:n], (
+                f"batch {b}: {ref_toks} vs {got_toks}")
+
     def test_generate_is_jittable(self, blip_pair):
         import jax
 

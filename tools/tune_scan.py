@@ -78,6 +78,9 @@ def measure(batch: int, dtype: str, method: str, donate: bool,
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--batches", type=str, default=None,
+                        help="comma list, e.g. 256,512,1024 — sweeps "
+                             "batch only (bf16 bicubic)")
     args = parser.parse_args()
 
     grid = {
@@ -89,6 +92,10 @@ def main() -> None:
     if args.quick:
         grid["batch"] = [256]
         grid["dtype"] = ["bfloat16"]
+    if args.batches:
+        grid["batch"] = [int(b) for b in args.batches.split(",")]
+        grid["dtype"] = ["bfloat16"]
+        grid["method"] = ["bicubic"]
 
     rows = []
     for batch, dtype, method, donate in itertools.product(
