@@ -40,7 +40,11 @@ class ClipEngine:
                  mesh: Optional[MeshContext] = None,
                  weights_path: Optional[str] = None,
                  image_size: Optional[int] = None) -> None:
-        self.cfg = cfg or vit_b32()
+        if cfg is None:
+            from ..utils.platform import with_compute_dtype
+
+            cfg = with_compute_dtype(vit_b32())
+        self.cfg = cfg
         if image_size is not None and image_size != self.cfg.image_size:
             self.cfg = CLIPConfig(**{**self.cfg.__dict__,
                                      "image_size": image_size})

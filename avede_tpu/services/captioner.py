@@ -39,7 +39,11 @@ class CaptionService:
                  weights_path: Optional[str] = None,
                  vocab_path: Optional[str] = None) -> None:
         self.engine = engine
-        self.cfg = cfg or blip_base()
+        if cfg is None:
+            from ..utils.platform import with_compute_dtype
+
+            cfg = with_compute_dtype(blip_base())
+        self.cfg = cfg
         weights_path = weights_path or settings.BLIP_WEIGHTS
         if params is not None:
             self.model = BlipCaptioner(self.cfg)
@@ -127,7 +131,11 @@ class Blip2RerankService:
                                       init_blip2)
         from ..models.tokenizer import HashTokenizer, WordPieceTokenizer
 
-        self.cfg = cfg or QFormerConfig()
+        if cfg is None:
+            from ..utils.platform import with_compute_dtype
+
+            cfg = with_compute_dtype(QFormerConfig())
+        self.cfg = cfg
         weights_path = weights_path or settings.BLIP_WEIGHTS
         if params is not None:
             self.model = Blip2Retrieval(self.cfg)

@@ -41,7 +41,11 @@ class YoloService:
     def __init__(self, cfg: Optional[YoloConfig] = None,
                  variables: Optional[dict] = None,
                  class_names: Optional[Sequence[str]] = None) -> None:
-        self.cfg = cfg or yolov8n()
+        if cfg is None:
+            from ..utils.platform import with_compute_dtype
+
+            cfg = with_compute_dtype(yolov8n())
+        self.cfg = cfg
         if variables is not None:
             from ..models.yolo import YoloV8
 

@@ -43,7 +43,11 @@ class UniversalDetector:
                  owlvit_params: Optional[dict] = None,
                  yolo: Optional[YoloService] = None) -> None:
         self.engine = engine
-        self.owl_cfg = owlvit_cfg or owlvit_base_patch32()
+        if owlvit_cfg is None:
+            from ..utils.platform import with_compute_dtype
+
+            owlvit_cfg = with_compute_dtype(owlvit_base_patch32())
+        self.owl_cfg = owlvit_cfg
         if owlvit_params is not None:
             self.owl = OwlViTDetector(self.owl_cfg)
             self.owl_params = owlvit_params

@@ -31,3 +31,36 @@ def apply_platform_env() -> None:
         except RuntimeError:
             pass  # backend already initialized; too late to switch
     _APPLIED = True
+
+
+def compute_dtype() -> str:
+    """Inference compute dtype for default-constructed model services.
+
+    ``settings.COMPUTE_DTYPE`` (bfloat16 — the measured-fastest MXU
+    dtype: the scan is ~2x float32, YOLO ~5x with pipelining) on
+    accelerator backends; float32 on CPU, where bf16 is emulated and
+    the virtual-mesh tests expect f32 numerics. Explicitly-passed
+    configs are never overridden. Params always stay float32 (flax
+    ``dtype`` is the computation dtype only), so converted checkpoints
+    and training are unaffected.
+    """
+    from .config import settings
+
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            return "float32"
+    except Exception:  # noqa: BLE001 — backend not initializable
+        return "float32"
+    return settings.COMPUTE_DTYPE
+
+
+def with_compute_dtype(cfg):
+    """Return ``cfg`` (a model config dataclass) with its ``dtype``
+    replaced by :func:`compute_dtype`. Used by services on their
+    *default*-constructed configs only — explicit configs pass through
+    untouched at the call sites."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, dtype=compute_dtype())
