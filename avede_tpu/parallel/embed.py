@@ -109,6 +109,7 @@ class ClipEngine:
         if shape not in self._image_fns:
             model = self.model
             size = self.cfg.image_size
+            dtype = self.cfg.dtype
             use_pallas = self._use_pallas()
 
             @functools.partial(
@@ -132,7 +133,7 @@ class ClipEngine:
                     return model.apply(
                         {"params": params}, tokens,
                         method=model.encode_image_from_patches)
-                px = clip_preprocess(frames_u8, size=size)
+                px = clip_preprocess(frames_u8, size=size, dtype=dtype)
                 return model.apply({"params": params}, px,
                                    method=model.encode_image)
 

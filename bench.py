@@ -44,7 +44,12 @@ def main() -> None:
 
     @jax.jit
     def scan(params, frames_u8, query):
-        px = clip_preprocess(frames_u8, size=cfg.image_size)
+        # preprocess in the tower's compute dtype — the resize is the
+        # bandwidth-bound quarter of the program and bf16 halves its
+        # traffic (~8% whole-scan win, tools/tune_scan.py); this matches
+        # ClipEngine._image_fn_locked exactly
+        px = clip_preprocess(frames_u8, size=cfg.image_size,
+                             dtype=cfg.dtype)
         emb = model.apply({"params": params}, px,
                           method=model.encode_image)
         return jnp.dot(emb, query, preferred_element_type=jnp.float32)
@@ -76,7 +81,13 @@ def main() -> None:
         out = None
         for _ in range(reps):
             out = scan(params, frames_dev, query)
-        jax.block_until_ready(out)
+        # sync on the LAST batch's host materialization, not
+        # block_until_ready: through the axon tunnel block_until_ready
+        # has been observed returning before execution (would inflate
+        # the number ~80x); in-order device execution makes the final
+        # [batch]-float D2H a correct sync that costs one extra RTT
+        # across the whole 8-batch trial
+        np.asarray(out)
         best_dt = min(best_dt, (time.perf_counter() - t0) / reps)
     dt = best_dt
     fps = batch / dt
@@ -273,7 +284,7 @@ def _yolo_fps() -> float:
         out = None
         for _ in range(reps):
             out = detect(variables, fd)
-        jax.block_until_ready(out)
+        jax.tree.map(np.asarray, out)  # real sync (see primary's note)
         best = min(best, (time.perf_counter() - t0) / reps)
     return round(batch / best, 2)
 

@@ -81,6 +81,21 @@ class TestPreprocess:
         # normalized: roughly zero-centered
         assert abs(out.mean()) < 2.0
 
+    def test_clip_preprocess_bf16_close_to_f32(self, synthetic_frames):
+        """The bf16 compute path (used when the tower runs bf16) must
+        stay within bf16 rounding of the f32 chain — pixel error well
+        under one uint8 quantization step in normalized units."""
+        from avede_tpu.ops.preprocess import CLIP_STD, clip_preprocess
+
+        f32 = np.asarray(clip_preprocess(synthetic_frames[:4], size=32))
+        bf16 = np.asarray(clip_preprocess(
+            synthetic_frames[:4], size=32, dtype="bfloat16")
+        ).astype(np.float32)
+        assert bf16.dtype == np.float32  # cast for comparison
+        # one uint8 step is (1/255)/std ≈ 0.015 normalized units;
+        # bf16 has ~3 decimal digits → error ≲ 0.03 absolute here
+        assert np.abs(bf16 - f32).max() < (1.0 / 255.0) / CLIP_STD.min() * 2
+
     def test_fold_normalization_equivalence(self):
         import jax
         import jax.numpy as jnp

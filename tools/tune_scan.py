@@ -36,9 +36,12 @@ def measure(batch: int, dtype: str, method: str, donate: bool,
     model, params = init_clip(cfg, seed=0)
 
     def scan(params, frames_u8, query):
-        x = central_square_crop(frames_u8).astype(jnp.float32) / 255.0
+        # preprocess in the tower dtype, like ClipEngine._image_fn_locked
+        # (the bf16 resize is an ~8% whole-scan win; drift ≤2.3e-4 cos)
+        d = jnp.dtype(dtype)
+        x = central_square_crop(frames_u8).astype(d) / jnp.asarray(255.0, d)
         x = resize_frames(x, cfg.image_size, method)
-        x = (x - CLIP_MEAN) / CLIP_STD
+        x = (x - CLIP_MEAN.astype(d)) / CLIP_STD.astype(d)
         emb = model.apply({"params": params}, x,
                           method=model.encode_image)
         return jnp.dot(emb, query, preferred_element_type=jnp.float32)
@@ -70,7 +73,11 @@ def measure(batch: int, dtype: str, method: str, donate: bool,
         out = None
         for _ in range(reps):
             out = run()
-        jax.block_until_ready(out)
+        # materialize the last batch instead of block_until_ready: the
+        # axon tunnel's block_until_ready has been observed to return
+        # before execution; in-order execution makes the final D2H a
+        # correct (and conservative) sync point
+        np.asarray(out)
         best = min(best, (time.perf_counter() - t0) / reps)
     return batch / best
 
