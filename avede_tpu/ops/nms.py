@@ -21,42 +21,76 @@ import jax.numpy as jnp
 from .boxes import pairwise_iou
 
 
-@functools.partial(jax.jit, static_argnames=("max_out",))
+@functools.partial(jax.jit, static_argnames=("max_out", "presorted"))
 def nms_padded(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
-               max_out: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+               max_out: int, presorted: bool = False
+               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy class-agnostic NMS.
 
     boxes  [N, 4] xyxy; scores [N] (-inf marks padding/invalid)
     → (boxes [max_out, 4], scores [max_out], valid [max_out] bool),
     score-sorted.
+
+    ``presorted=True`` skips the input sort — pass it when scores are
+    already descending (e.g. straight out of ``lax.top_k``): a 400-wide
+    argsort lowers to ~80 sequential bitonic micro-kernels on TPU and
+    costs more than the whole suppression fixpoint.
     """
     n = boxes.shape[0]
-    order = jnp.argsort(-scores)
-    boxes_s = boxes[order]
-    scores_s = scores[order]
+    if presorted:
+        boxes_s = boxes
+        scores_s = scores
+    else:
+        order = jnp.argsort(-scores)
+        boxes_s = boxes[order]
+        scores_s = scores[order]
     iou = pairwise_iou(boxes_s, boxes_s)
 
     alive0 = scores_s > -jnp.inf
 
-    def body(i, alive):
-        # if box i is still alive, kill every lower-scored box that
-        # overlaps it beyond the threshold
-        kill = (iou[i] > iou_threshold) & (jnp.arange(n) > i) & alive[i]
-        return alive & ~kill
+    # Greedy NMS as a FIXPOINT, not an N-step sequential loop. The
+    # greedy solution is the unique solution of the recurrence
+    #   alive(j) = valid(j) & ¬∃ i<j : alive(i) & iou(i,j) > thr
+    # (unique by induction on j), so iterating the whole recurrence as
+    # one vectorized [N,N] step converges exactly to it — in
+    # suppression-chain-depth iterations (typically ~3-8), not N. On
+    # TPU this turns 400 latency-bound scalar-indexed steps into a
+    # handful of VPU matrix steps (~6x faster whole-detector NMS stage,
+    # tools/tune_scan.py). Convergence ≤ N+1 iterations is guaranteed:
+    # alive(j) depends only on i<j, and stabilized prefixes never
+    # change again.
+    sup = (iou > iou_threshold) & jnp.triu(jnp.ones((n, n), bool), 1)
 
-    alive = jax.lax.fori_loop(0, n, body, alive0)
+    def cond(state):
+        _, changed, it = state
+        return changed & (it <= n)
+
+    def body(state):
+        a, _, it = state
+        suppressed = jnp.any(sup & a[:, None], axis=0)
+        new = alive0 & ~suppressed
+        return new, jnp.any(new != a), it + 1
+
+    alive, _, _ = jax.lax.while_loop(
+        cond, body, (alive0, jnp.asarray(True), jnp.asarray(0)))
 
     kept_scores = jnp.where(alive, scores_s, -jnp.inf)
-    top = jnp.argsort(-kept_scores)[:max_out]
+    # compaction via top_k (k = max_out), not a full argsort: survivors
+    # keep their relative (descending) order and dead slots sink as -inf
+    out_scores, top = jax.lax.top_k(kept_scores, min(max_out, n))
     out_boxes = boxes_s[top]
-    out_scores = kept_scores[top]
+    if max_out > n:  # keep the padded output contract
+        out_boxes = jnp.pad(out_boxes, ((0, max_out - n), (0, 0)))
+        out_scores = jnp.pad(out_scores, (0, max_out - n),
+                             constant_values=-jnp.inf)
     valid = out_scores > -jnp.inf
     return out_boxes, out_scores, valid
 
 
-@functools.partial(jax.jit, static_argnames=("max_out",))
+@functools.partial(jax.jit, static_argnames=("max_out", "presorted"))
 def nms_per_class(boxes: jax.Array, scores: jax.Array, classes: jax.Array,
-                  iou_threshold: float, max_out: int
+                  iou_threshold: float, max_out: int,
+                  presorted: bool = False
                   ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Per-class NMS via the coordinate-offset trick: boxes of different
     classes are translated to disjoint regions so one class-agnostic
@@ -64,7 +98,8 @@ def nms_per_class(boxes: jax.Array, scores: jax.Array, classes: jax.Array,
     span = jnp.max(boxes) + 1.0
     offset = classes.astype(jnp.float32)[:, None] * span
     shifted = boxes + offset
-    ob, os, valid = nms_padded(shifted, scores, iou_threshold, max_out)
+    ob, os, valid = nms_padded(shifted, scores, iou_threshold, max_out,
+                               presorted=presorted)
     # recover class + original coordinates from the shift itself: with
     # 0 ≤ coord < span, floor(x0 / span) is exactly the class id
     cls_out = jnp.clip(jnp.floor(ob[:, 0] / span), 0, None

@@ -100,8 +100,11 @@ class YoloService:
                 top_l = jnp.take_along_axis(label, top_i, axis=1)
 
                 def one(b, s, l):
+                    # top_k already returns descending scores — skip
+                    # the 400-wide argsort inside NMS (presorted)
                     return nms_per_class(b, s, l.astype(jnp.int32),
-                                         iou_thr, max_out)
+                                         iou_thr, max_out,
+                                         presorted=True)
 
                 return jax.vmap(one)(top_b, top_s, top_l)
 

@@ -257,7 +257,7 @@ def _yolo_fps() -> float:
 
     cfg = _dc.replace(yolov8n(), dtype="bfloat16")
     model, variables = init_yolo(cfg, seed=0)
-    batch = 32
+    batch = 64  # measured ~2x throughput vs 32 at equal wall time
     frames = np.random.default_rng(0).integers(
         0, 255, size=(batch, 640, 640, 3), dtype=np.uint8)
 
@@ -272,7 +272,8 @@ def _yolo_fps() -> float:
         top_b = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
         top_l = jnp.take_along_axis(label, top_i, axis=1)
         return jax.vmap(lambda b, s, l: nms_per_class(
-            b, s, l.astype(jnp.int32), 0.45, 100))(top_b, top_s, top_l)
+            b, s, l.astype(jnp.int32), 0.45, 100,
+            presorted=True))(top_b, top_s, top_l)
 
     fd = jnp.asarray(frames)
     for _ in range(2):
@@ -297,7 +298,7 @@ def bench_yolo() -> None:
         "value": fps,
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
-        "detail": {"batch": 32, "input": "640x640 uint8",
+        "detail": {"batch": 64, "input": "640x640 uint8",
                    "max_detections": 100},
     }))
 

@@ -17,6 +17,43 @@ class TestNMS:
         assert valid.sum() == 2
         np.testing.assert_allclose(np.asarray(os)[:2], [0.9, 0.7])
 
+    def test_overlap_chain_alternates(self):
+        """Worst case for the fixpoint formulation: a long chain where
+        each box overlaps only its neighbor. Greedy keeps alternating
+        boxes; the fixpoint must converge to exactly that."""
+        import jax.numpy as jnp
+        from avede_tpu.ops.nms import nms_padded
+
+        n = 64
+        # box i spans [6i, 6i+10): IoU with neighbor = 4/16 = 0.25 > 0.2
+        boxes = np.stack([6.0 * np.arange(n), np.zeros(n),
+                          6.0 * np.arange(n) + 10, np.full(n, 10.0)],
+                         1).astype(np.float32)
+        scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+        ob, os, valid = nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                   0.2, max_out=n)
+        kept = np.sort(np.asarray(os)[np.asarray(valid)])[::-1]
+        np.testing.assert_allclose(kept, scores[::2], atol=1e-6)
+
+    def test_presorted_equivalent(self):
+        """presorted=True on descending-score input must match the
+        self-sorting path exactly."""
+        import jax.numpy as jnp
+        from avede_tpu.ops.nms import nms_padded
+
+        rng = np.random.default_rng(7)
+        n = 50
+        xy = rng.uniform(0, 80, (n, 2))
+        wh = rng.uniform(5, 30, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        scores = np.sort(rng.uniform(0, 1, n).astype(np.float32))[::-1].copy()
+        a = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                       max_out=20)
+        b = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                       max_out=20, presorted=True)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
     def test_matches_torchvision_semantics(self):
         """Cross-check greedy NMS against a numpy oracle on random boxes."""
         import jax.numpy as jnp
