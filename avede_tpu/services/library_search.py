@@ -29,6 +29,21 @@ logger = get_logger(__name__)
 class LibrarySearch:
     def __init__(self, phase1: Phase1Scan) -> None:
         self.phase1 = phase1
+        self._index = None  # lazily-built DeviceLibraryIndex
+
+    def _device_index(self):
+        if self._index is None:
+            from .library_index import DeviceLibraryIndex
+
+            self._index = DeviceLibraryIndex(
+                self.phase1.engine.cfg.projection_dim)
+        return self._index
+
+    def invalidate(self, video_id: str) -> None:
+        """Drop a video from the device index (uploads mint fresh
+        UUIDs, so this only matters if an id is ever re-encoded)."""
+        if self._index is not None:
+            self._index.remove(video_id)
 
     def list_videos(self) -> List[str]:
         base = Path(settings.VIDEO_DIR)
@@ -45,6 +60,13 @@ class LibrarySearch:
         t0 = time.time()
         threshold = (settings.CONFIDENCE_THRESHOLD if threshold is None
                      else threshold)
+        if video_ids is None and settings.LIBRARY_INDEX_ENABLED:
+            # whole-library search rides the device-resident index: one
+            # matmul+top_k on chip, only top hits cross to host. Subset
+            # searches keep the per-table path (a global top-k filtered
+            # to a small subset could come back empty).
+            return self._search_indexed(query, top_k, threshold,
+                                        per_video_k, t0)
         ids = video_ids or self.list_videos()
         tables: List[np.ndarray] = []
         spans: List[tuple] = []   # (video_id, timestamps)
@@ -90,6 +112,67 @@ class LibrarySearch:
                 "videos_searched": len(tables),
                 "frames_scored": int(len(scores)),
                 "processing_time": time.time() - t0,
+            },
+        }
+
+    def _search_indexed(self, query: str, top_k: int, threshold: float,
+                        per_video_k: int, t0: float) -> Dict:
+        """Whole-library search through the ``DeviceLibraryIndex``.
+
+        Per-video-cap semantics are preserved adaptively: the device
+        returns a global top-K' candidate set; the host applies
+        threshold + per-video cap + global top_k, and K' quadruples
+        (rare) whenever capping starved the result below ``top_k``
+        while candidates remained."""
+        index = self._device_index()
+        n_videos = 0
+        for vid in self.list_videos():
+            try:
+                if not index.has(vid):
+                    path = self._resolve(vid)
+                    emb, ts = self.phase1.frame_embeddings(path, vid)
+                    index.add(vid, emb, ts)
+                n_videos += 1
+            except Exception as exc:  # noqa: BLE001 — skip bad videos
+                logger.warning("library: skipping %s (%s)", vid, exc)
+        if index.n_rows == 0:
+            return {"results": [], "total_found": 0,
+                    "metadata": {"videos_searched": 0,
+                                 "processing_time": time.time() - t0}}
+        q = self.phase1.engine.embed_texts(query)[0]
+
+        k_dev = max(64, 4 * top_k)
+        while True:
+            cands = index.search(q, k_dev)
+            per_video: Dict[str, int] = {}
+            results: List[Dict] = []
+            for c in cands:
+                if c["confidence"] < threshold:
+                    break  # candidates arrive best-first
+                if per_video.get(c["video_id"], 0) >= per_video_k:
+                    continue
+                per_video[c["video_id"]] = \
+                    per_video.get(c["video_id"], 0) + 1
+                results.append(c)
+                if len(results) >= top_k:
+                    break
+            exhausted = (len(cands) < k_dev
+                         or (cands and cands[-1]["confidence"] < threshold))
+            if len(results) >= top_k or exhausted \
+                    or k_dev >= index.capacity:
+                break
+            k_dev *= 4
+        return {
+            "results": results[:top_k],
+            "total_found": len(results[:top_k]),
+            "metadata": {
+                "videos_searched": n_videos,
+                "frames_scored": index.n_rows,
+                "processing_time": time.time() - t0,
+                "index": {"rows": index.n_rows,
+                          "capacity": index.capacity,
+                          "dtype": index.dtype,
+                          "device_resident": True},
             },
         }
 

@@ -73,6 +73,11 @@ class Settings(BaseModel):
     EMBEDDING_MEM_CACHE_MB: int = 256   # in-memory table tier; 0 disables
     EMBEDDING_CACHE_INT8: bool = True   # per-row int8 cache entries
     # (4× smaller library storage, ≲1e-3 cosine error; ops/quant.py)
+    LIBRARY_INDEX_DTYPE: str = "bfloat16"  # device-resident search table
+    # (2× capacity vs float32 at ≤1e-3 score drift; library_index.py)
+    LIBRARY_INDEX_ENABLED: bool = True  # device index behind
+    # /api/search-library (falls back to per-table host scoring when
+    # off or when a video_ids subset is requested)
     SCAN_DEDUP_EPS: float = 1.5   # near-duplicate frame gate (mean abs
     # diff, gray levels at 16×16); 0 disables — dup frames reuse their
     # run representative's embedding instead of re-running the ViT

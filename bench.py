@@ -146,6 +146,15 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — secondary metric only
         pass
 
+    # serving-scale library search: the DeviceLibraryIndex search
+    # program (matmul → mask → top_k) on a 1M-row bf16 resident table.
+    library_ms = None
+    try:
+        if budget_left() > 120:
+            library_ms = _library_search_ms()
+    except Exception:  # noqa: BLE001 — secondary metric only
+        pass
+
     print(json.dumps({
         "metric": "clip_scan_frames_per_sec_per_chip",
         "value": round(fps, 2),
@@ -164,6 +173,7 @@ def main() -> None:
             "cold_scan_s_600frames": round(600 / fps, 3),
             "yolov8n_detect_nms_fps": yolo_fps,
             "cold_scan_overlap": overlap,
+            "library_search_p50_ms_1M_rows": library_ms,
         },
     }))
 
@@ -240,6 +250,32 @@ def _overlap_benefit(model, params, cfg) -> dict:
                 "total_frames": deduper.n_total,
                 "wall_s": round(dedup_s, 3),
                 "effective_fps": round(deduper.n_total / dedup_s, 1)}}
+
+
+def _library_search_ms() -> float:
+    """p50 latency of the device-resident library search program
+    (``services/library_index._search_fn``) over 1M bf16 rows — the
+    whole-library text-search path behind POST /api/search-library.
+    The table is generated on device (the 2 GB H2D would measure the
+    tunnel, not the search)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avede_tpu.services.library_index import _search_fn
+
+    n, d = 1_000_000, 512
+    table = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16)
+    valid = jnp.ones((n,), bool)
+    q = jax.random.normal(jax.random.PRNGKey(1), (d,), jnp.float32)
+    fn = _search_fn(64)
+    for _ in range(2):
+        np.asarray(fn(table, valid, q)[0])
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        np.asarray(fn(table, valid, q)[0])
+        times.append(time.perf_counter() - t0)
+    return round(sorted(times)[len(times) // 2] * 1000, 2)
 
 
 def _yolo_fps() -> float:
@@ -352,6 +388,7 @@ def _supervised() -> None:
                 prev_detail = prev.get("detail", {})
                 carried = []
                 for key in ("yolov8n_detect_nms_fps", "cold_scan_overlap",
+                            "library_search_p50_ms_1M_rows",
                             "warm_query_p50_ms_600frames"):
                     if (result["detail"].get(key) is None
                             and prev_detail.get(key) is not None):

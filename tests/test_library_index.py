@@ -1,0 +1,171 @@
+"""Device-resident library index: correctness vs a numpy oracle,
+incremental add/remove, growth+compaction, and the indexed
+LibrarySearch path's per-video-cap semantics."""
+
+import numpy as np
+import pytest
+
+
+def _unit(rng, n, d):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class TestDeviceLibraryIndex:
+    def _index(self, dim=32, dtype="float32"):
+        from avede_tpu.services.library_index import DeviceLibraryIndex
+
+        # float32 on the CPU test backend so scores match numpy exactly
+        return DeviceLibraryIndex(dim, dtype=dtype)
+
+    def test_search_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        idx = self._index()
+        tables = {}
+        for i, n in enumerate((10, 25, 7)):
+            emb = _unit(rng, n, 32)
+            tables[f"v{i}"] = emb
+            idx.add(f"v{i}", emb, np.arange(n, dtype=np.float32))
+        q = _unit(rng, 1, 32)[0]
+
+        all_emb = np.concatenate(list(tables.values()))
+        expect = np.sort(all_emb @ q)[::-1][:5]
+        got = idx.search(q, 5)
+        np.testing.assert_allclose(
+            [r["confidence"] for r in got], expect, atol=1e-5)
+        # row bookkeeping: every hit maps into its source table
+        for r in got:
+            emb = tables[r["video_id"]]
+            assert r["frame_index"] < len(emb)
+            np.testing.assert_allclose(
+                float(emb[r["frame_index"]] @ q), r["confidence"],
+                atol=1e-5)
+            assert r["timestamp"] == float(r["frame_index"])
+
+    def test_replace_and_remove(self):
+        rng = np.random.default_rng(1)
+        idx = self._index()
+        a = _unit(rng, 8, 32)
+        b = _unit(rng, 6, 32)
+        idx.add("a", a, np.arange(8.0))
+        idx.add("b", b, np.arange(6.0))
+        assert idx.n_videos == 2 and idx.n_rows == 14
+        # replace a with fewer rows
+        a2 = _unit(rng, 4, 32)
+        idx.add("a", a2, np.arange(4.0))
+        assert idx.n_videos == 2 and idx.n_rows == 10
+        q = _unit(rng, 1, 32)[0]
+        hits = idx.search(q, 10)
+        assert {h["video_id"] for h in hits} == {"a", "b"}
+        assert max(h["frame_index"] for h in hits
+                   if h["video_id"] == "a") < 4
+        idx.remove("b")
+        hits = idx.search(q, 10)
+        assert {h["video_id"] for h in hits} == {"a"}
+        assert len(hits) == 4
+
+    def test_growth_compacts_holes(self):
+        from avede_tpu.services import library_index as li
+
+        rng = np.random.default_rng(2)
+        idx = self._index()
+        # fill past _MIN_CAPACITY through several bucket-sized adds with
+        # one removal in the middle → growth must compact the hole
+        idx.add("x", _unit(rng, 300, 32), np.arange(300.0))
+        idx.add("y", _unit(rng, 300, 32), np.arange(300.0))
+        idx.remove("x")
+        big = _unit(rng, li._MIN_CAPACITY, 32)
+        idx.add("z", big, np.arange(float(li._MIN_CAPACITY)))
+        assert idx.capacity >= li._MIN_CAPACITY
+        assert idx.n_rows == 300 + li._MIN_CAPACITY
+        q = _unit(rng, 1, 32)[0]
+        hits = idx.search(q, 3)
+        # oracle over the surviving spans' rows (read from the shadow)
+        all_emb = np.concatenate([idx._shadow[s: s + n].astype(np.float32)
+                                  for _, s, n, _ in idx._spans])
+        expect = np.sort(all_emb @ q)[::-1][:3]
+        np.testing.assert_allclose([h["confidence"] for h in hits],
+                                   expect, atol=2e-3)
+
+    def test_empty_and_zero_row_add(self):
+        idx = self._index()
+        assert idx.search(np.zeros(32, np.float32), 5) == []
+        idx.add("empty", np.zeros((0, 32), np.float32), [])
+        assert idx.n_videos == 0
+
+
+class TestIndexedLibrarySearch:
+    def test_matches_per_table_path(self, tmp_data_dirs, monkeypatch):
+        """The indexed whole-library path returns the same hits as the
+        host per-table path on the same library."""
+        import cv2
+
+        from avede_tpu.models.clip import tiny_test_config
+        from avede_tpu.parallel.embed import ClipEngine
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+        from avede_tpu.services.library_search import LibrarySearch
+        from avede_tpu.utils.config import settings
+
+        rng = np.random.default_rng(0)
+        for name in ("vid1", "vid2"):
+            path = str(tmp_data_dirs / "videos" / f"{name}.mp4")
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                8.0, (64, 64))
+            for i in range(24):
+                frame = rng.integers(0, 255, (64, 64, 3), np.uint8)
+                w.write(frame)
+            w.release()
+
+        engine = ClipEngine(cfg=tiny_test_config())
+        search = LibrarySearch(Phase1Scan(engine))
+
+        monkeypatch.setattr(settings, "LIBRARY_INDEX_ENABLED", True)
+        monkeypatch.setattr(settings, "LIBRARY_INDEX_DTYPE", "float32")
+        indexed = search.search("a thing", top_k=6, threshold=-1.0)
+        assert indexed["metadata"]["index"]["device_resident"]
+
+        monkeypatch.setattr(settings, "LIBRARY_INDEX_ENABLED", False)
+        host = search.search("a thing", top_k=6, threshold=-1.0)
+
+        assert len(indexed["results"]) == len(host["results"])
+        for a, b in zip(indexed["results"], host["results"]):
+            assert a["video_id"] == b["video_id"]
+            assert a["frame_index"] == b["frame_index"]
+            np.testing.assert_allclose(a["confidence"], b["confidence"],
+                                       atol=1e-4)
+
+    def test_per_video_cap(self, tmp_data_dirs):
+        """per_video_k caps hits per video even when one video owns the
+        global top scores."""
+        from avede_tpu.services.library_index import DeviceLibraryIndex
+        from avede_tpu.services.library_search import LibrarySearch
+
+        rng = np.random.default_rng(3)
+
+        search = LibrarySearch.__new__(LibrarySearch)
+        search._index = DeviceLibraryIndex(16, dtype="float32")
+        q = _unit(rng, 1, 16)[0]
+        # "hot" video: 20 rows nearly equal to q; "cold": orthogonal-ish
+        hot = np.tile(q, (20, 1)) + 0.01 * rng.normal(size=(20, 16))
+        hot /= np.linalg.norm(hot, axis=-1, keepdims=True)
+        cold = _unit(rng, 20, 16)
+        search._index.add("hot", hot.astype(np.float32), np.arange(20.0))
+        search._index.add("cold", cold.astype(np.float32),
+                          np.arange(20.0))
+
+        class FakeEngine:
+            def embed_texts(self, _):
+                return q[None]
+
+        class FakePhase1:
+            engine = FakeEngine()
+
+        search.phase1 = FakePhase1()
+        search.list_videos = lambda: []  # index already populated
+        out = search._search_indexed("q", top_k=6, threshold=-1.0,
+                                     per_video_k=3, t0=0.0)
+        per_vid = {}
+        for r in out["results"]:
+            per_vid[r["video_id"]] = per_vid.get(r["video_id"], 0) + 1
+        assert per_vid["hot"] == 3
+        assert per_vid.get("cold", 0) == 3
