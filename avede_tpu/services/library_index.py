@@ -83,9 +83,16 @@ class DeviceLibraryIndex:
     cheaply (half the memory of the f32 source tables; strictly more
     precise than the bf16 device copy)."""
 
-    def __init__(self, dim: int, dtype: Optional[str] = None) -> None:
+    def __init__(self, dim: int, dtype: Optional[str] = None,
+                 mesh=None) -> None:
+        """``mesh`` (a ``parallel.mesh.MeshContext``) shards the table's
+        rows over the data axis: each chip holds capacity/n_data rows,
+        the score matmul runs shard-local, and XLA inserts the top-k
+        merge collective over ICI — multi-chip serving without code
+        changes (tested shard-invariant on the virtual 8-device mesh)."""
         self.dim = dim
         self.dtype = dtype or settings.LIBRARY_INDEX_DTYPE
+        self.mesh = mesh
         self._lock = threading.Lock()
         self._cap = 0
         self._table = None          # device [cap, D] self.dtype
@@ -212,6 +219,11 @@ class DeviceLibraryIndex:
         new_cap = max(_MIN_CAPACITY, self._cap or _MIN_CAPACITY)
         while new_cap < compacted + extra_rows:
             new_cap *= 2
+        if self.mesh is not None:       # rows must split evenly over
+            # the data axis — round UP to a multiple (doubling never
+            # reaches divisibility for non-power-of-2 axes, e.g. dp=3)
+            d = self.mesh.n_data
+            new_cap = -(-new_cap // d) * d
         shadow = np.zeros((new_cap, self.dim), np.float16)
         shadow_valid = np.zeros((new_cap,), bool)
         new_starts: List[int] = []
@@ -229,9 +241,17 @@ class DeviceLibraryIndex:
         self._shadow, self._shadow_valid = shadow, shadow_valid
         self._starts, self._spans = new_starts, new_spans
         self._rows_end = pos
-        self._table = jnp.asarray(shadow.astype(np.float32),
-                                  dtype=self.dtype)
-        self._valid = jnp.asarray(shadow_valid)
+        jax, _ = _jax()
+        table_host = shadow.astype(np.float32)
+        if self.mesh is not None:
+            self._table = jax.device_put(
+                jnp.asarray(table_host, dtype=self.dtype),
+                self.mesh.data_sharded)
+            self._valid = jax.device_put(jnp.asarray(shadow_valid),
+                                         self.mesh.data_sharded)
+        else:
+            self._table = jnp.asarray(table_host, dtype=self.dtype)
+            self._valid = jnp.asarray(shadow_valid)
         logger.info("library index capacity -> %d rows (%s, %.0f MB "
                     "on device)", new_cap, self.dtype,
                     new_cap * self.dim *

@@ -35,8 +35,10 @@ class LibrarySearch:
         if self._index is None:
             from .library_index import DeviceLibraryIndex
 
+            engine = self.phase1.engine
             self._index = DeviceLibraryIndex(
-                self.phase1.engine.cfg.projection_dim)
+                engine.cfg.projection_dim,
+                mesh=getattr(engine, "mesh", None))
         return self._index
 
     def invalidate(self, video_id: str) -> None:

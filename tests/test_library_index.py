@@ -87,6 +87,32 @@ class TestDeviceLibraryIndex:
         np.testing.assert_allclose([h["confidence"] for h in hits],
                                    expect, atol=2e-3)
 
+    def test_sharded_matches_single_device(self):
+        """Rows sharded over the 8-device data axis must return exactly
+        the single-device results (XLA merges the top-k over the mesh)."""
+        import jax
+
+        from avede_tpu.parallel.mesh import build_mesh
+        from avede_tpu.services.library_index import DeviceLibraryIndex
+
+        rng = np.random.default_rng(5)
+        mesh = build_mesh(jax.devices())
+        sharded = DeviceLibraryIndex(32, dtype="float32", mesh=mesh)
+        local = DeviceLibraryIndex(32, dtype="float32")
+        for i, n in enumerate((40, 300, 17)):
+            emb = _unit(rng, n, 32)
+            for idx in (sharded, local):
+                idx.add(f"v{i}", emb, np.arange(float(n)))
+        assert sharded.capacity % mesh.n_data == 0
+        q = _unit(rng, 1, 32)[0]
+        a = sharded.search(q, 9)
+        b = local.search(q, 9)
+        assert [(r["video_id"], r["frame_index"]) for r in a] == \
+               [(r["video_id"], r["frame_index"]) for r in b]
+        np.testing.assert_allclose([r["confidence"] for r in a],
+                                   [r["confidence"] for r in b],
+                                   atol=1e-6)
+
     def test_empty_and_zero_row_add(self):
         idx = self._index()
         assert idx.search(np.zeros(32, np.float32), 5) == []
