@@ -12,6 +12,7 @@ real checkpoints; see README "Weights"). Demonstrates:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -95,6 +96,24 @@ def main() -> None:
           f"top t={out['results'][0]['timestamp']:.2f}s "
           f"sim={out['results'][0]['similarity']:.3f}"
           if out["results"] else "   no matches")
+
+    print("\n5) whole-library search (device-resident index)")
+    import shutil
+
+    from avede_tpu.services.library_search import LibrarySearch
+
+    # the library scans settings.VIDEO_DIR — place the demo clip there
+    os.makedirs(settings.VIDEO_DIR, exist_ok=True)
+    lib_copy = os.path.join(settings.VIDEO_DIR, "quickstart_demo.mp4")
+    shutil.copyfile(video, lib_copy)
+    lib = LibrarySearch(proc.phase1)
+    t0 = time.time()
+    out = lib.search("a bright square", top_k=5, threshold=-1.0)
+    meta = out["metadata"]
+    print(f"   {meta.get('frames_scored', 0)} frames across "
+          f"{meta.get('videos_searched', 0)} video(s) in "
+          f"{time.time()-t0:.3f}s"
+          + (" (on-chip index)" if meta.get("index") else ""))
 
 
 if __name__ == "__main__":

@@ -27,7 +27,7 @@ class TestBuiltinUI:
 
 
 class TestQuickstartExample:
-    def test_runs_end_to_end(self, capsys):
+    def test_runs_end_to_end(self, capsys, tmp_data_dirs):
         import sys
 
         sys.argv = ["quickstart"]
