@@ -178,17 +178,22 @@ class DeviceLibraryIndex:
         """Top-``k`` rows across the whole library for a unit-norm
         query. Returns dicts with video_id/timestamp/confidence/
         frame_index, best first."""
+        _, jnp = _jax()
+        q = jnp.asarray(np.asarray(query_embedding, np.float32))
         with self._lock:
             if self._table is None or not self._spans:
                 return []
             k_eff = min(k, self._cap)
-            table, valid = self._table, self._valid
+            # DISPATCH under the lock: adds donate the table buffer to
+            # their update program, which host-side marks the old array
+            # deleted immediately — a search dispatched after that
+            # raises "Array has been deleted". Once dispatched, the
+            # device stream owns buffer lifetimes (in-order execution),
+            # so only the enqueue needs mutual exclusion; the D2H
+            # materialization happens outside the lock.
+            scores, idx = _search_fn(k_eff)(self._table, self._valid, q)
             starts = list(self._starts)
             spans = list(self._spans)
-        _, jnp = _jax()
-        scores, idx = _search_fn(k_eff)(
-            table, valid, jnp.asarray(np.asarray(query_embedding,
-                                                 np.float32)))
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         out: List[Dict] = []

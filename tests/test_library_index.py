@@ -113,6 +113,50 @@ class TestDeviceLibraryIndex:
                                    [r["confidence"] for r in b],
                                    atol=1e-6)
 
+    def test_concurrent_adds_and_searches(self):
+        """Searches racing adds/removes must never crash or return rows
+        that fail to map back to a live span snapshot."""
+        import threading
+
+        rng = np.random.default_rng(9)
+        idx = self._index(dim=16)
+        idx.add("seed", _unit(rng, 12, 16), np.arange(12.0))
+        q = _unit(rng, 1, 16)[0]
+        errors = []
+        stop = threading.Event()
+
+        def writer(tid):
+            r = np.random.default_rng(tid)
+            try:
+                for i in range(8):
+                    vid = f"w{tid}_{i % 3}"
+                    idx.add(vid, _unit(r, 5 + i, 16),
+                            np.arange(float(5 + i)))
+                    if i % 3 == 2:
+                        idx.remove(vid)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+            finally:
+                stop.set()
+
+        def reader():
+            try:
+                while not stop.is_set():
+                    for r in idx.search(q, 8):
+                        assert isinstance(r["video_id"], str)
+                        assert np.isfinite(r["confidence"])
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=writer, args=(t,))
+                   for t in range(3)] + [threading.Thread(target=reader)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        assert idx.search(q, 4)  # index still serves
+
     def test_empty_and_zero_row_add(self):
         idx = self._index()
         assert idx.search(np.zeros(32, np.float32), 5) == []
