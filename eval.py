@@ -190,16 +190,13 @@ def _draw(shape: str, color, rng, size: int = 32) -> np.ndarray:
     return np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
 
 
-def eval_text_trained(seed: int = 0, steps: int = 400) -> dict:
+def _train_tiny_clip(seed: int, steps: int):
     """Train a tiny CLIP contrastively on synthetic (shape image,
-    caption) pairs, then measure text→video retrieval through the REAL
-    phase-1 pipeline — the end-to-end proof that the whole path
-    (tokenize → encode → cache → window top-k) learns."""
-    import cv2
+    caption) pairs; returns (engine, pairs, final_loss)."""
     import jax
     import jax.numpy as jnp
 
-    from avede_tpu.models.clip import CLIPModel, tiny_test_config
+    from avede_tpu.models.clip import init_clip, tiny_test_config
     from avede_tpu.models.tokenizer import Tokenizer
     from avede_tpu.ops.preprocess import clip_preprocess
     from avede_tpu.parallel.embed import ClipEngine
@@ -212,8 +209,6 @@ def eval_text_trained(seed: int = 0, steps: int = 400) -> dict:
     cfg = tiny_test_config()
     tok = Tokenizer(bpe_path=None, vocab_size=cfg.vocab_size,
                     context_len=cfg.max_text_len)
-    from avede_tpu.models.clip import init_clip
-
     model, params = init_clip(cfg, seed=seed)
     tx = optax.adam(1e-3)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
@@ -229,7 +224,6 @@ def eval_text_trained(seed: int = 0, steps: int = 400) -> dict:
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss
 
-    batch = len(pairs)  # one of each class per batch
     for _ in range(steps):
         imgs = np.stack([_draw(s, COLORS[c], rng) for s, c in pairs])
         caps = [f"a {c} {s}" for s, c in pairs]
@@ -237,9 +231,20 @@ def eval_text_trained(seed: int = 0, steps: int = 400) -> dict:
         ids = jnp.asarray(tok(caps))
         state, loss = step(state, px, ids)
 
-    # build a video: 3 s per held-out class instance
     engine = ClipEngine(cfg=cfg, params=jax.device_get(state.params),
                         mesh=build_mesh(jax.devices()[:1]))
+    return engine, pairs, float(loss)
+
+
+def eval_text_trained(seed: int = 0, steps: int = 400) -> dict:
+    """Train a tiny CLIP contrastively on synthetic (shape image,
+    caption) pairs, then measure text→video retrieval through the REAL
+    phase-1 pipeline — the end-to-end proof that the whole path
+    (tokenize → encode → cache → window top-k) learns."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    engine, pairs, loss = _train_tiny_clip(seed, steps)
     from avede_tpu.io.embedding_cache import EmbeddingCache
     from avede_tpu.pipelines.phase1 import Phase1Scan
     import tempfile
@@ -275,6 +280,77 @@ def eval_text_trained(seed: int = 0, steps: int = 400) -> dict:
     return {"precision_at_1": hits / len(pairs),
             "classes": len(pairs), "train_steps": steps,
             "final_train_loss": float(loss)}
+
+
+def eval_library(seed: int = 0, steps: int = 400,
+                 n_videos: int = 4) -> dict:
+    """Cross-video accuracy of the device-resident library index: the
+    16 trained (shape, color) classes are spread over ``n_videos``
+    videos; a whole-library search for each class must surface the
+    RIGHT video (video@1) at the right second (hit@1) through
+    ``LibrarySearch`` → ``DeviceLibraryIndex`` (the /api/search-library
+    path)."""
+    import tempfile
+
+    import cv2
+
+    from avede_tpu.pipelines.phase1 import Phase1Scan
+    from avede_tpu.services.library_search import LibrarySearch
+    from avede_tpu.utils.config import settings
+
+    rng = np.random.default_rng(seed)
+    engine, pairs, loss = _train_tiny_clip(seed, steps)
+
+    tmp = tempfile.mkdtemp(prefix="avede_lib_")
+    old_video_dir = settings.VIDEO_DIR
+    old_emb_dir = settings.EMBEDDING_DIR
+    settings.VIDEO_DIR = os.path.join(tmp, "videos")
+    settings.EMBEDDING_DIR = os.path.join(tmp, "embeddings")
+    os.makedirs(settings.VIDEO_DIR)
+    os.makedirs(settings.EMBEDDING_DIR)
+    try:
+        order = list(pairs)
+        rng.shuffle(order)
+        fps, span = 4.0, 8
+        gt = {}   # (shape, color) -> (video_id, lo, hi)
+        per_video = len(order) // n_videos
+        for v in range(n_videos):
+            vid = f"lib{v}"
+            path = os.path.join(settings.VIDEO_DIR, f"{vid}.mp4")
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                fps, (64, 64))
+            t = 0
+            for s, c in order[v * per_video:(v + 1) * per_video]:
+                gt[(s, c)] = (vid, t / fps, (t + span) / fps)
+                for _ in range(span):
+                    img = cv2.resize(_draw(s, COLORS[c], rng), (64, 64),
+                                     interpolation=cv2.INTER_NEAREST)
+                    w.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+                    t += 1
+            w.release()
+
+        search = LibrarySearch(Phase1Scan(engine))
+        video_hits = 0
+        time_hits = 0
+        evaluated = list(gt.items())
+        for (s, c), (vid, lo, hi) in evaluated:
+            out = search.search(f"a {c} {s}", top_k=1, threshold=-1.0)
+            res = out["results"]
+            if res and res[0]["video_id"] == vid:
+                video_hits += 1
+                if lo - 1.1 <= res[0]["timestamp"] <= hi + 1.1:
+                    time_hits += 1
+        meta = out["metadata"]
+        return {"video_at_1": video_hits / len(evaluated),
+                "hit_at_1": time_hits / len(evaluated),
+                "classes": len(evaluated), "videos": n_videos,
+                "frames_indexed": meta.get("index", {}).get("rows", 0),
+                "index_dtype": meta.get("index", {}).get("dtype"),
+                "train_steps": steps,
+                "final_train_loss": float(loss)}
+    finally:
+        settings.VIDEO_DIR = old_video_dir
+        settings.EMBEDDING_DIR = old_emb_dir
 
 
 # ---------------------------------------------------------------------------
@@ -638,7 +714,7 @@ def main() -> None:
     parser.add_argument("--mode",
                         choices=["image", "grounding", "text",
                                  "detection", "person", "caption",
-                                 "all"],
+                                 "library", "all"],
                         default="all")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -655,6 +731,8 @@ def main() -> None:
         out["person_reid_trained"] = eval_person(args.seed)
     if args.mode in ("caption", "all"):
         out["caption_trained"] = eval_caption(args.seed)
+    if args.mode in ("library", "all"):
+        out["library_search_trained"] = eval_library(args.seed)
     print(json.dumps(out, indent=2))
 
 
