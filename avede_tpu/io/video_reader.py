@@ -191,15 +191,20 @@ class VideoReader:
                     want = set(span)
                     last = span[-1]
                     while pos <= last:
-                        ok, frame = cap.read()
-                        if not ok:
-                            break
                         if pos in want:
+                            ok, frame = cap.read()
+                            if not ok:
+                                break
                             buf.append(convert(frame, tw, th))
                             buf_ts.append(float(pos) / meta.fps)
                             if len(buf) >= chunk:
                                 out_q.put((np.stack(buf), list(buf_ts)))
                                 buf, buf_ts = [], []
+                        elif not cap.grab():
+                            # grab() advances the decoder without the
+                            # BGR retrieve/copy — skipped frames cost
+                            # only the (unavoidable) codec work
+                            break
                         pos += 1
                 else:
                     for idx in span:
