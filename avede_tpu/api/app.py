@@ -42,6 +42,7 @@ class ApiState:
 
     def __init__(self, processor=None) -> None:
         self._processor = processor
+        self._library = None
 
     @property
     def processor(self):
@@ -50,6 +51,18 @@ class ApiState:
 
             self._processor = VideoProcessor()
         return self._processor
+
+    @property
+    def library(self):
+        """One LibrarySearch per server — its DeviceLibraryIndex is
+        stateful (device-resident embedding table), so it must outlive
+        requests: a per-request instance would rebuild the whole table
+        on every POST /api/search-library."""
+        if self._library is None:
+            from ..services.library_search import LibrarySearch
+
+            self._library = LibrarySearch(self.processor.phase1)
+        return self._library
 
 
 def _json(data: Dict[str, Any], status: int = 200) -> web.Response:
@@ -183,9 +196,7 @@ async def search_library(request: web.Request) -> web.Response:
     q = body.get("query")
     if not q or not isinstance(q, str):
         return _json({"detail": "missing 'query'"}, 422)
-    from ..services.library_search import LibrarySearch
-
-    searcher = LibrarySearch(state.processor.phase1)
+    searcher = state.library
     with get_monitor().track("library_search"):
         out = await _run_blocking(
             searcher.search, q, top_k=int(body.get("top_k", 10)),

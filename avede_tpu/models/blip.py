@@ -336,10 +336,14 @@ class BlipCaptioner(nn.Module):
         ``model.generate`` (``blip_model.py:351``), which carries beam
         search; this is the TPU-native equivalent: static shapes
         throughout, a ``lax.scan`` over decode steps, per-layer KV
-        caches reordered by beam with one gather per step. Finished
-        beams emit PAD with frozen scores; the winner is picked by
-        ``score / len(generated)**length_penalty`` (HF semantics).
-        ``num_beams=1`` reduces to greedy (tested equivalent).
+        caches reordered by beam with one gather per step. Beams that
+        emit EOS are BANKED into a per-batch top-K buffer of finished
+        hypotheses ranked by ``score / len**length_penalty`` (HF's
+        ``BeamHypotheses`` role) and their live slot dies — a finished
+        hypothesis can never be evicted by later, lower-normalized live
+        beams, matching HF ``generate(num_beams=K)``. The winner is the
+        best normalized hypothesis across the bank and any still-live
+        beams. ``num_beams=1`` reduces to greedy (tested equivalent).
         """
         cfg = self.cfg
         K = num_beams
@@ -359,13 +363,15 @@ class BlipCaptioner(nn.Module):
         # only beam 0 live at t=0 — all beams share the BOS prefix, so
         # seeding the rest at -inf avoids K duplicates of the same path
         scores0 = jnp.full((B, K), -jnp.inf, jnp.float32).at[:, 0].set(0.0)
-        done0 = jnp.zeros((B, K), bool)
         lens0 = jnp.zeros((B, K), jnp.int32)          # generated tokens
+        bank_tokens0 = jnp.full((B, K, max_len), cfg.pad_token_id,
+                                jnp.int32)
+        bank_norm0 = jnp.full((B, K), -jnp.inf, jnp.float32)
 
         batch_off = (jnp.arange(B) * K)[:, None]      # [B, 1]
 
         def step(carry, t):
-            tokens, caches, scores, done, lens = carry
+            tokens, caches, scores, lens, bank_tokens, bank_norm = carry
             cur = jax.lax.dynamic_slice(
                 tokens, (0, 0, t), (B, K, 1)).reshape(B * K, 1)
             logits, caches = self.text(cur, vK, position_offset=t,
@@ -373,11 +379,8 @@ class BlipCaptioner(nn.Module):
             logp = jax.nn.log_softmax(logits[:, 0, :])        # [B·K, V]
             V = logp.shape[-1]
             logp = logp.reshape(B, K, V)
-            # finished beams may only extend with PAD, at zero cost —
-            # their cumulative score competes unchanged in the top-k
-            pad_only = jnp.full((V,), -jnp.inf, jnp.float32
-                                ).at[cfg.pad_token_id].set(0.0)
-            logp = jnp.where(done[..., None], pad_only[None, None], logp)
+            # dead slots (banked or never-seeded) carry score -inf and
+            # contribute no candidates
             cand = scores[..., None] + logp                    # [B, K, V]
             new_scores, flat_idx = jax.lax.top_k(
                 cand.reshape(B, K * V), K)                     # [B, K]
@@ -386,27 +389,47 @@ class BlipCaptioner(nn.Module):
 
             # reorder beam state by surviving-parent index
             tokens = jnp.take_along_axis(tokens, src[..., None], axis=1)
-            done = jnp.take_along_axis(done, src, axis=1)
-            lens = jnp.take_along_axis(lens, src, axis=1)
+            lens = jnp.take_along_axis(lens, src, axis=1) + 1
             gather = (batch_off + src).reshape(B * K)          # [B·K]
             caches = [(ck[gather], cv[gather]) for ck, cv in caches]
 
-            lens = lens + (~done).astype(jnp.int32)
-            done = done | (tok == cfg.eos_token_id)
             write = jnp.minimum(t + 1, max_len - 1)
             tokens = jax.lax.dynamic_update_slice(
                 tokens, tok[..., None], (0, 0, write))
-            return (tokens, caches, new_scores, done, lens), None
 
-        (tokens, _, scores, done, lens), _ = jax.lax.scan(
-            step, (tokens0, caches, scores0, done0, lens0),
-            jnp.arange(max_len - 1))
+            # bank newly-finished hypotheses by normalized score; their
+            # live slot dies (-inf) so the next top_k refills from the
+            # surviving beams' candidates
+            just_done = tok == cfg.eos_token_id
+            norm = new_scores / jnp.maximum(lens, 1).astype(
+                jnp.float32) ** length_penalty
+            fin_norm = jnp.where(just_done, norm, -jnp.inf)
+            all_norm = jnp.concatenate([bank_norm, fin_norm], axis=1)
+            all_tokens = jnp.concatenate([bank_tokens, tokens], axis=1)
+            bank_norm, bidx = jax.lax.top_k(all_norm, K)       # [B, K]
+            bank_tokens = jnp.take_along_axis(
+                all_tokens, bidx[..., None], axis=1)
+            new_scores = jnp.where(just_done, -jnp.inf, new_scores)
+            return (tokens, caches, new_scores, lens,
+                    bank_tokens, bank_norm), None
 
-        norm = scores / jnp.maximum(lens, 1).astype(
+        (tokens, _, scores, lens, bank_tokens, bank_norm), _ = \
+            jax.lax.scan(
+                step,
+                (tokens0, caches, scores0, lens0,
+                 bank_tokens0, bank_norm0),
+                jnp.arange(max_len - 1))
+
+        # winner: best normalized hypothesis over the finished bank and
+        # any still-live (never-finished) beams — HF's end-of-decode
+        # fallback when fewer than K hypotheses finished
+        live_norm = scores / jnp.maximum(lens, 1).astype(
             jnp.float32) ** length_penalty
-        best = jnp.argmax(norm, axis=1)                        # [B]
+        all_norm = jnp.concatenate([bank_norm, live_norm], axis=1)
+        all_tokens = jnp.concatenate([bank_tokens, tokens], axis=1)
+        best = jnp.argmax(all_norm, axis=1)                    # [B]
         return jnp.take_along_axis(
-            tokens, best[:, None, None], axis=1)[:, 0]
+            all_tokens, best[:, None, None], axis=1)[:, 0]
 
 
 def init_blip(cfg: Optional[BlipConfig] = None, seed: int = 0):

@@ -62,13 +62,15 @@ class CaptionService:
         self._gen_fns = {}
 
     def _gen_fn(self, n: int):
-        # compiled per (input shape, num_beams): the decode strategy is
-        # part of the program (HF generate's num_beams analog)
+        # compiled per (input shape, num_beams, length_penalty): every
+        # settings knob baked into the program must be part of the key,
+        # or a runtime change would be silently ignored for shapes that
+        # already compiled
         beams = max(1, int(settings.CAPTION_NUM_BEAMS))
-        key = (n, beams)
+        penalty = float(settings.CAPTION_LENGTH_PENALTY)
+        key = (n, beams, penalty)
         if key not in self._gen_fns:
             model, size = self.model, self.cfg.image_size
-            penalty = float(settings.CAPTION_LENGTH_PENALTY)
 
             @jax.jit
             def run(params, frames_u8):

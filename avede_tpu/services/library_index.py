@@ -38,6 +38,11 @@ _ROW_BUCKET = 256          # adds are padded to this many rows
 _MIN_CAPACITY = 1024
 
 
+def _padded(n: int) -> int:
+    """Rows occupied by an ``n``-row span after bucket padding."""
+    return -(-n // _ROW_BUCKET) * _ROW_BUCKET
+
+
 def _jax():
     import jax
     import jax.numpy as jnp
@@ -79,9 +84,10 @@ class DeviceLibraryIndex:
 
     Rows for one video form a contiguous bucket-padded span; padding
     rows (and removed videos) are masked invalid and score ``-inf``.
-    A float16 host shadow backs capacity growth and process restarts
-    cheaply (half the memory of the f32 source tables; strictly more
-    precise than the bf16 device copy)."""
+    A host shadow backs capacity growth: float16 for reduced-precision
+    device tables (half the memory, strictly more precise than the
+    bf16 device copy), float32 when the index itself is float32 so
+    growth never degrades exact-f32 scores."""
 
     def __init__(self, dim: int, dtype: Optional[str] = None,
                  mesh=None) -> None:
@@ -92,6 +98,8 @@ class DeviceLibraryIndex:
         changes (tested shard-invariant on the virtual 8-device mesh)."""
         self.dim = dim
         self.dtype = dtype or settings.LIBRARY_INDEX_DTYPE
+        self._shadow_dtype = (np.float32 if self.dtype == "float32"
+                              else np.float16)
         self.mesh = mesh
         self._lock = threading.Lock()
         self._cap = 0
@@ -122,6 +130,10 @@ class DeviceLibraryIndex:
     def has(self, video_id: str) -> bool:
         return video_id in self._by_vid
 
+    def video_ids(self) -> List[str]:
+        with self._lock:
+            return list(self._by_vid)
+
     # ------------------------------------------------------------------
     def add(self, video_id: str, embeddings: np.ndarray,
             timestamps) -> None:
@@ -131,12 +143,17 @@ class DeviceLibraryIndex:
             raise ValueError(f"expected [N, {self.dim}], got {emb.shape}")
         ts = np.asarray(timestamps, np.float32)
         with self._lock:
-            if video_id in self._by_vid:
-                self._remove_locked(video_id)
             n = len(emb)
+            padded = _padded(n)
+            if video_id in self._by_vid:
+                # when this add will trigger growth anyway (removal
+                # leaves a hole, it does not lower rows_end), skip the
+                # hole's device zero-write — compaction discards it
+                will_grow = n > 0 and self._rows_end + padded > self._cap
+                self._remove_locked(video_id,
+                                    device_write=not will_grow)
             if n == 0:
                 return
-            padded = -(-n // _ROW_BUCKET) * _ROW_BUCKET
             if self._rows_end + padded > self._cap:
                 self._grow_locked(padded)
             start = self._rows_end
@@ -145,7 +162,8 @@ class DeviceLibraryIndex:
             vmask = np.zeros((padded,), bool)
             vmask[:n] = True
             self._device_write_locked(block, vmask, start)
-            self._shadow[start:start + padded] = block.astype(np.float16)
+            self._shadow[start:start + padded] = \
+                block.astype(self._shadow_dtype)
             self._shadow_valid[start:start + padded] = vmask
             idx = bisect.bisect_left(self._starts, start)
             self._starts.insert(idx, start)
@@ -158,16 +176,18 @@ class DeviceLibraryIndex:
             if video_id in self._by_vid:
                 self._remove_locked(video_id)
 
-    def _remove_locked(self, video_id: str) -> None:
+    def _remove_locked(self, video_id: str,
+                       device_write: bool = True) -> None:
         start = self._by_vid.pop(video_id)
         idx = self._starts.index(start)
         _, _, n, _ = self._spans[idx]
-        padded = -(-n // _ROW_BUCKET) * _ROW_BUCKET
+        padded = _padded(n)
         del self._starts[idx]
         del self._spans[idx]
-        block = np.zeros((padded, self.dim), np.float32)
-        vmask = np.zeros((padded,), bool)
-        self._device_write_locked(block, vmask, start)
+        if device_write:
+            block = np.zeros((padded, self.dim), np.float32)
+            vmask = np.zeros((padded,), bool)
+            self._device_write_locked(block, vmask, start)
         self._shadow[start:start + padded] = 0
         self._shadow_valid[start:start + padded] = False
         # holes persist until the next capacity growth, which compacts
@@ -183,19 +203,23 @@ class DeviceLibraryIndex:
         with self._lock:
             if self._table is None or not self._spans:
                 return []
-            k_eff = min(k, self._cap)
+            # quantize k to a power of two so the per-k jit cache stays
+            # a handful of programs even under adaptive widening
+            k_prog = min(1 << (max(k, 1) - 1).bit_length(), self._cap)
             # DISPATCH under the lock: adds donate the table buffer to
             # their update program, which host-side marks the old array
             # deleted immediately — a search dispatched after that
             # raises "Array has been deleted". Once dispatched, the
             # device stream owns buffer lifetimes (in-order execution),
             # so only the enqueue needs mutual exclusion; the D2H
-            # materialization happens outside the lock.
-            scores, idx = _search_fn(k_eff)(self._table, self._valid, q)
+            # materialization happens outside the lock. (First use of a
+            # new k_prog also compiles under the lock — accepted:
+            # quantization bounds that to ~log(cap) compiles total.)
+            scores, idx = _search_fn(k_prog)(self._table, self._valid, q)
             starts = list(self._starts)
             spans = list(self._spans)
-        scores = np.asarray(scores)
-        idx = np.asarray(idx)
+        scores = np.asarray(scores)[:k]
+        idx = np.asarray(idx)[:k]
         out: List[Dict] = []
         for s, i in zip(scores, idx):
             if not np.isfinite(s):
@@ -219,8 +243,7 @@ class DeviceLibraryIndex:
         """Grow capacity (doubling) and compact removal holes: spans are
         re-laid contiguously in the new shadow, then re-uploaded once."""
         _, jnp = _jax()
-        compacted = sum(-(-n // _ROW_BUCKET) * _ROW_BUCKET
-                        for _, _, n, _ in self._spans)
+        compacted = sum(_padded(n) for _, _, n, _ in self._spans)
         new_cap = max(_MIN_CAPACITY, self._cap or _MIN_CAPACITY)
         while new_cap < compacted + extra_rows:
             new_cap *= 2
@@ -229,13 +252,13 @@ class DeviceLibraryIndex:
             # reaches divisibility for non-power-of-2 axes, e.g. dp=3)
             d = self.mesh.n_data
             new_cap = -(-new_cap // d) * d
-        shadow = np.zeros((new_cap, self.dim), np.float16)
+        shadow = np.zeros((new_cap, self.dim), self._shadow_dtype)
         shadow_valid = np.zeros((new_cap,), bool)
         new_starts: List[int] = []
         new_spans: List[Tuple[str, int, int, np.ndarray]] = []
         pos = 0
         for vid, start, n, ts in self._spans:
-            padded = -(-n // _ROW_BUCKET) * _ROW_BUCKET
+            padded = _padded(n)
             shadow[pos:pos + padded] = self._shadow[start:start + padded]
             shadow_valid[pos:pos + padded] = \
                 self._shadow_valid[start:start + padded]

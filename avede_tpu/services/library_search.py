@@ -128,7 +128,10 @@ class LibrarySearch:
         while candidates remained."""
         index = self._device_index()
         n_videos = 0
-        for vid in self.list_videos():
+        listed = self.list_videos()
+        for vid in set(index.video_ids()) - set(listed):
+            index.remove(vid)   # deleted from VIDEO_DIR → evict
+        for vid in listed:
             try:
                 if not index.has(vid):
                     path = self._resolve(vid)

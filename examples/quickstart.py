@@ -103,17 +103,21 @@ def main() -> None:
     from avede_tpu.services.library_search import LibrarySearch
 
     # the library scans settings.VIDEO_DIR — place the demo clip there
+    # for the duration of the demo, then clean it back out
     os.makedirs(settings.VIDEO_DIR, exist_ok=True)
     lib_copy = os.path.join(settings.VIDEO_DIR, "quickstart_demo.mp4")
     shutil.copyfile(video, lib_copy)
-    lib = LibrarySearch(proc.phase1)
-    t0 = time.time()
-    out = lib.search("a bright square", top_k=5, threshold=-1.0)
-    meta = out["metadata"]
-    print(f"   {meta.get('frames_scored', 0)} frames across "
-          f"{meta.get('videos_searched', 0)} video(s) in "
-          f"{time.time()-t0:.3f}s"
-          + (" (on-chip index)" if meta.get("index") else ""))
+    try:
+        lib = LibrarySearch(proc.phase1)
+        t0 = time.time()
+        out = lib.search("a bright square", top_k=5, threshold=-1.0)
+        meta = out["metadata"]
+        print(f"   {meta.get('frames_scored', 0)} frames across "
+              f"{meta.get('videos_searched', 0)} video(s) in "
+              f"{time.time()-t0:.3f}s"
+              + (" (on-chip index)" if meta.get("index") else ""))
+    finally:
+        os.remove(lib_copy)
 
 
 if __name__ == "__main__":

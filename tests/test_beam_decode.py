@@ -104,6 +104,46 @@ class TestBeamDecode:
         assert got_list == best.tolist(), (got_list, best.tolist(),
                                            float(np.max(norm)))
 
+    def test_exhaustive_with_length_penalty(self):
+        """With K = vocab and length_penalty=1, the winner must be the
+        brute-force argmax of score/len — in particular a SHORT finished
+        hypothesis whose raw score would fall out of the beam must
+        survive via the finished bank (HF BeamHypotheses semantics; the
+        pre-bank implementation evicted it)."""
+        cfg = dataclasses.replace(tiny_blip_config(), vocab_size=12,
+                                  bos_token_id=10, eos_token_id=11,
+                                  max_caption_len=3)
+        model, params = init_blip(cfg, seed=7)
+        rng = np.random.default_rng(2)
+        px = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+        V, L = cfg.vocab_size, cfg.max_caption_len
+
+        got = np.asarray(model.apply(
+            {"params": params}, px, V, length_penalty=1.0,
+            method=model.generate_beam))[0]
+
+        ids = np.zeros((V * V, L), np.int32)
+        ids[:, 0] = cfg.bos_token_id
+        ids[:, 1] = np.repeat(np.arange(V), V)
+        ids[:, 2] = np.tile(np.arange(V), V)
+        logits = np.asarray(model.apply(
+            {"params": params},
+            np.broadcast_to(px, (V * V, 32, 32, 3)), jnp.asarray(ids)))
+        logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+        s1 = logp[np.arange(V * V), 0, ids[:, 1]]
+        s2 = logp[np.arange(V * V), 1, ids[:, 2]]
+        t1_is_eos = ids[:, 1] == cfg.eos_token_id
+        # normalized: len 1 when finished at t1, else len 2
+        score = np.where(t1_is_eos, s1, (s1 + s2) / 2.0)
+        valid = ~t1_is_eos | (ids[:, 2] == cfg.pad_token_id)
+        norm = np.where(valid, score, -np.inf)
+        best = ids[int(np.argmax(norm))]
+
+        got_list = got.tolist()
+        if got_list[1] == cfg.eos_token_id:
+            got_list[2] = cfg.pad_token_id
+        assert got_list == best.tolist(), (got_list, best.tolist())
+
     def test_beam_not_worse_than_greedy_unnormalized(self, tiny_blip,
                                                      frames):
         """Sanity: with length_penalty=0 the beam winner's cumulative

@@ -84,8 +84,9 @@ class TestDeviceLibraryIndex:
         all_emb = np.concatenate([idx._shadow[s: s + n].astype(np.float32)
                                   for _, s, n, _ in idx._spans])
         expect = np.sort(all_emb @ q)[::-1][:3]
+        # f32 index keeps an f32 shadow, so growth is exact
         np.testing.assert_allclose([h["confidence"] for h in hits],
-                                   expect, atol=2e-3)
+                                   expect, atol=1e-5)
 
     def test_sharded_matches_single_device(self):
         """Rows sharded over the 8-device data axis must return exactly
@@ -124,6 +125,8 @@ class TestDeviceLibraryIndex:
         q = _unit(rng, 1, 16)[0]
         errors = []
         stop = threading.Event()
+        remaining = [3]
+        rlock = threading.Lock()
 
         def writer(tid):
             r = np.random.default_rng(tid)
@@ -137,7 +140,13 @@ class TestDeviceLibraryIndex:
             except Exception as exc:  # noqa: BLE001
                 errors.append(exc)
             finally:
-                stop.set()
+                # the reader must keep racing until the LAST writer
+                # finishes — a single shared event set by the first
+                # writer would end the race window early
+                with rlock:
+                    remaining[0] -= 1
+                    if remaining[0] == 0:
+                        stop.set()
 
         def reader():
             try:
@@ -204,6 +213,41 @@ class TestIndexedLibrarySearch:
             np.testing.assert_allclose(a["confidence"], b["confidence"],
                                        atol=1e-4)
 
+    def test_deleted_video_evicted(self, tmp_data_dirs, monkeypatch):
+        """A video removed from VIDEO_DIR must stop appearing in
+        indexed search results (eviction on the next search)."""
+        import os
+
+        import cv2
+
+        from avede_tpu.models.clip import tiny_test_config
+        from avede_tpu.parallel.embed import ClipEngine
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+        from avede_tpu.services.library_search import LibrarySearch
+        from avede_tpu.utils.config import settings
+
+        monkeypatch.setattr(settings, "LIBRARY_INDEX_ENABLED", True)
+        rng = np.random.default_rng(0)
+        paths = {}
+        for name in ("keep", "gone"):
+            p = str(tmp_data_dirs / "videos" / f"{name}.mp4")
+            w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"),
+                                8.0, (64, 64))
+            for _ in range(16):
+                w.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+            w.release()
+            paths[name] = p
+
+        search = LibrarySearch(Phase1Scan(ClipEngine(
+            cfg=tiny_test_config())))
+        out = search.search("anything", top_k=8, threshold=-1.0)
+        assert {r["video_id"] for r in out["results"]} == {"keep", "gone"}
+
+        os.remove(paths["gone"])
+        out = search.search("anything", top_k=8, threshold=-1.0)
+        assert {r["video_id"] for r in out["results"]} == {"keep"}
+        assert not search._index.has("gone")
+
     def test_per_video_cap(self, tmp_data_dirs):
         """per_video_k caps hits per video even when one video owns the
         global top scores."""
@@ -231,7 +275,10 @@ class TestIndexedLibrarySearch:
             engine = FakeEngine()
 
         search.phase1 = FakePhase1()
-        search.list_videos = lambda: []  # index already populated
+        # index already populated; listing must cover it or the
+        # eviction sweep would drop the manually-added videos
+        search.list_videos = lambda: ["hot", "cold"]
+        search._resolve = lambda vid: vid  # never reached (has() True)
         out = search._search_indexed("q", top_k=6, threshold=-1.0,
                                      per_video_k=3, t0=0.0)
         per_vid = {}
