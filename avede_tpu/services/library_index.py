@@ -9,9 +9,10 @@ that is a >2 GB host copy plus a CPU matmul on every query.
 TPU-native inversion: the library lives ON the chip as one bucketed
 ``[capacity, D]`` table (bfloat16 by default — 2× the resident capacity
 of f32 at ≤1e-3 score drift, same budget the int8 *disk* tier of the
-embedding cache already accepts). Queries are one jitted
-``matmul → mask → top_k`` program; only the top-K indices/scores ever
-leave the device. Adds are incremental ``dynamic_update_slice`` writes
+embedding cache already accepts; ``LIBRARY_INDEX_DTYPE="int8"`` opts
+into per-row int8+scales for 4× capacity at the cache tier's drift).
+Queries are one jitted ``matmul → mask → top_k`` program; only the
+top-K indices/scores ever leave the device. Adds are incremental ``dynamic_update_slice`` writes
 with donated buffers (no reallocation) into bucket-padded spans;
 capacity grows by doubling with a single re-upload.
 
@@ -65,17 +66,52 @@ def _write_fn():
 
 
 @functools.lru_cache(maxsize=None)
-def _search_fn(k: int):
+def _write_fn_int8():
     jax, jnp = _jax()
 
-    @jax.jit
-    def search(table, valid, q):
-        s = jnp.dot(table, q.astype(table.dtype),
-                    preferred_element_type=jnp.float32)
-        s = jnp.where(valid, s, -jnp.inf)
-        return jax.lax.top_k(s, k)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def write(table, scales, valid, qblock, sblock, vmask, offset):
+        table = jax.lax.dynamic_update_slice(table, qblock, (offset, 0))
+        scales = jax.lax.dynamic_update_slice(scales, sblock, (offset,))
+        valid = jax.lax.dynamic_update_slice(valid, vmask, (offset,))
+        return table, scales, valid
+
+    return write
+
+
+@functools.lru_cache(maxsize=None)
+def _search_fn(k: int, int8: bool = False):
+    jax, jnp = _jax()
+
+    if int8:
+        @jax.jit
+        def search(table, scales, valid, q):
+            # int8 rows dequantize in the matmul epilogue: bf16 cast for
+            # the MXU, per-row scale fused by XLA
+            s = jnp.dot(table.astype(jnp.bfloat16),
+                        q.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) * scales
+            s = jnp.where(valid, s, -jnp.inf)
+            return jax.lax.top_k(s, k)
+    else:
+        @jax.jit
+        def search(table, valid, q):
+            s = jnp.dot(table, q.astype(table.dtype),
+                        preferred_element_type=jnp.float32)
+            s = jnp.where(valid, s, -jnp.inf)
+            return jax.lax.top_k(s, k)
 
     return search
+
+
+def _quantize_rows(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """[N, D] float → (int8 [N, D], f32 scales [N]) — per-row symmetric
+    (the embedding cache's disk scheme, ``ops/quant.py`` role)."""
+    amax = np.max(np.abs(rows), axis=1)
+    scales = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+    q = np.clip(np.round(rows / scales[:, None]), -127, 127
+                ).astype(np.int8)
+    return q, scales
 
 
 class DeviceLibraryIndex:
@@ -98,9 +134,11 @@ class DeviceLibraryIndex:
         changes (tested shard-invariant on the virtual 8-device mesh)."""
         self.dim = dim
         self.dtype = dtype or settings.LIBRARY_INDEX_DTYPE
+        self._int8 = self.dtype == "int8"
         self._shadow_dtype = (np.float32 if self.dtype == "float32"
                               else np.float16)
         self.mesh = mesh
+        self._scales = None         # device [cap] f32 (int8 mode only)
         self._lock = threading.Lock()
         self._cap = 0
         self._table = None          # device [cap, D] self.dtype
@@ -215,7 +253,12 @@ class DeviceLibraryIndex:
             # materialization happens outside the lock. (First use of a
             # new k_prog also compiles under the lock — accepted:
             # quantization bounds that to ~log(cap) compiles total.)
-            scores, idx = _search_fn(k_prog)(self._table, self._valid, q)
+            if self._int8:
+                scores, idx = _search_fn(k_prog, int8=True)(
+                    self._table, self._scales, self._valid, q)
+            else:
+                scores, idx = _search_fn(k_prog)(
+                    self._table, self._valid, q)
             starts = list(self._starts)
             spans = list(self._spans)
         scores = np.asarray(scores)[:k]
@@ -271,24 +314,36 @@ class DeviceLibraryIndex:
         self._rows_end = pos
         jax, _ = _jax()
         table_host = shadow.astype(np.float32)
-        if self.mesh is not None:
-            self._table = jax.device_put(
-                jnp.asarray(table_host, dtype=self.dtype),
-                self.mesh.data_sharded)
-            self._valid = jax.device_put(jnp.asarray(shadow_valid),
-                                         self.mesh.data_sharded)
+        if self._int8:
+            qtable, qscales = _quantize_rows(table_host)
+            arrays = {"_table": jnp.asarray(qtable),
+                      "_scales": jnp.asarray(qscales),
+                      "_valid": jnp.asarray(shadow_valid)}
+            row_bytes = 1
         else:
-            self._table = jnp.asarray(table_host, dtype=self.dtype)
-            self._valid = jnp.asarray(shadow_valid)
+            arrays = {"_table": jnp.asarray(table_host,
+                                            dtype=self.dtype),
+                      "_valid": jnp.asarray(shadow_valid)}
+            row_bytes = 4 if self.dtype == "float32" else 2
+        for name, arr in arrays.items():
+            if self.mesh is not None:
+                arr = jax.device_put(arr, self.mesh.data_sharded)
+            setattr(self, name, arr)
         logger.info("library index capacity -> %d rows (%s, %.0f MB "
                     "on device)", new_cap, self.dtype,
-                    new_cap * self.dim *
-                    (2 if self.dtype != "float32" else 4) / 1e6)
+                    new_cap * self.dim * row_bytes / 1e6)
         self._cap = new_cap
 
     def _device_write_locked(self, block: np.ndarray, vmask: np.ndarray,
                              offset: int) -> None:
         _, jnp = _jax()
-        self._table, self._valid = _write_fn()(
-            self._table, self._valid, jnp.asarray(block),
-            jnp.asarray(vmask), offset)
+        if self._int8:
+            qblock, sblock = _quantize_rows(block)
+            self._table, self._scales, self._valid = _write_fn_int8()(
+                self._table, self._scales, self._valid,
+                jnp.asarray(qblock), jnp.asarray(sblock),
+                jnp.asarray(vmask), offset)
+        else:
+            self._table, self._valid = _write_fn()(
+                self._table, self._valid, jnp.asarray(block),
+                jnp.asarray(vmask), offset)

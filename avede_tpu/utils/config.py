@@ -74,7 +74,9 @@ class Settings(BaseModel):
     EMBEDDING_CACHE_INT8: bool = True   # per-row int8 cache entries
     # (4× smaller library storage, ≲1e-3 cosine error; ops/quant.py)
     LIBRARY_INDEX_DTYPE: str = "bfloat16"  # device-resident search table
-    # (2× capacity vs float32 at ≤1e-3 score drift; library_index.py)
+    # (2× capacity vs float32 at ≤1e-3 score drift; "int8" = per-row
+    # int8+scales, 4× capacity at the disk-cache drift budget;
+    # library_index.py)
     LIBRARY_INDEX_ENABLED: bool = True  # device index behind
     # /api/search-library (falls back to per-table host scoring when
     # off or when a video_ids subset is requested)

@@ -88,6 +88,31 @@ class TestDeviceLibraryIndex:
         np.testing.assert_allclose([h["confidence"] for h in hits],
                                    expect, atol=1e-5)
 
+    def test_int8_mode_ranks_like_f32(self):
+        """int8 per-row storage must preserve ranking on separated data
+        and keep scores within the cache tier's drift budget."""
+        rng = np.random.default_rng(11)
+        f32 = self._index(dim=32, dtype="float32")
+        i8 = self._index(dim=32, dtype="int8")
+        for i, n in enumerate((30, 45)):
+            emb = _unit(rng, n, 32)
+            f32.add(f"v{i}", emb, np.arange(float(n)))
+            i8.add(f"v{i}", emb, np.arange(float(n)))
+        q = _unit(rng, 1, 32)[0]
+        a = f32.search(q, 6)
+        b = i8.search(q, 6)
+        assert [(r["video_id"], r["frame_index"]) for r in a] == \
+               [(r["video_id"], r["frame_index"]) for r in b]
+        np.testing.assert_allclose([r["confidence"] for r in a],
+                                   [r["confidence"] for r in b],
+                                   atol=2e-2)
+        # growth keeps working in int8 mode
+        from avede_tpu.services import library_index as li
+
+        i8.add("big", _unit(rng, li._MIN_CAPACITY, 32),
+               np.arange(float(li._MIN_CAPACITY)))
+        assert i8.search(q, 3)
+
     def test_sharded_matches_single_device(self):
         """Rows sharded over the 8-device data axis must return exactly
         the single-device results (XLA merges the top-k over the mesh)."""
