@@ -180,6 +180,17 @@ class DeviceLibraryIndex:
         if emb.ndim != 2 or emb.shape[1] != self.dim:
             raise ValueError(f"expected [N, {self.dim}], got {emb.shape}")
         ts = np.asarray(timestamps, np.float32)
+        if settings.LIBRARY_INDEX_DEDUP and len(emb) > 1:
+            # lossless run collapse: the scan's duplicate-frame gating
+            # scatters the SAME embedding to every frame of a static
+            # run, so identical consecutive rows carry zero extra
+            # information — keep the run head (its timestamp is the
+            # run's first frame; every frame in the run scores equal)
+            keep = np.ones(len(emb), bool)
+            keep[1:] = ~np.all(emb[1:] == emb[:-1], axis=1)
+            if not keep.all():
+                emb = emb[keep]
+                ts = ts[:len(keep)][keep] if len(ts) else ts
         with self._lock:
             n = len(emb)
             padded = _padded(n)

@@ -77,6 +77,10 @@ class Settings(BaseModel):
     # (2× capacity vs float32 at ≤1e-3 score drift; "int8" = per-row
     # int8+scales, 4× capacity at the disk-cache drift budget;
     # library_index.py)
+    LIBRARY_INDEX_DEDUP: bool = True    # collapse identical consecutive
+    # rows at add time — lossless (the scan's FrameDeduper scatter
+    # repeats the exact embedding per duplicate frame), so static
+    # surveillance footage stores one row per run instead of per frame
     LIBRARY_INDEX_ENABLED: bool = True  # device index behind
     # /api/search-library (falls back to per-table host scoring when
     # off or when a video_ids subset is requested)

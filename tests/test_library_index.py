@@ -88,6 +88,33 @@ class TestDeviceLibraryIndex:
         np.testing.assert_allclose([h["confidence"] for h in hits],
                                    expect, atol=1e-5)
 
+    def test_add_collapses_identical_runs(self, monkeypatch):
+        """Identical consecutive rows (the scan's dedup-scatter output)
+        collapse to the run head — same scores, run-start timestamps,
+        ~run-length× fewer stored rows."""
+        from avede_tpu.utils.config import settings
+
+        monkeypatch.setattr(settings, "LIBRARY_INDEX_DEDUP", True)
+        rng = np.random.default_rng(13)
+        idx = self._index()
+        uniq = _unit(rng, 4, 32)
+        # frames: AAAA BB CCCC D (runs of 4/2/4/1) = 11 rows, 4 unique
+        emb = np.concatenate([np.tile(uniq[0], (4, 1)),
+                              np.tile(uniq[1], (2, 1)),
+                              np.tile(uniq[2], (4, 1)),
+                              uniq[3][None]])
+        ts = np.arange(11.0)
+        idx.add("v", emb, ts)
+        assert idx.n_rows == 4
+        hits = idx.search(uniq[2], 2)
+        assert hits[0]["timestamp"] == 6.0   # run C starts at frame 6
+        np.testing.assert_allclose(hits[0]["confidence"], 1.0, atol=1e-5)
+
+        monkeypatch.setattr(settings, "LIBRARY_INDEX_DEDUP", False)
+        idx2 = self._index()
+        idx2.add("v", emb, ts)
+        assert idx2.n_rows == 11
+
     def test_int8_mode_ranks_like_f32(self):
         """int8 per-row storage must preserve ranking on separated data
         and keep scores within the cache tier's drift budget."""
