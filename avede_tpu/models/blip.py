@@ -380,36 +380,45 @@ class BlipCaptioner(nn.Module):
             V = logp.shape[-1]
             logp = logp.reshape(B, K, V)
             # dead slots (banked or never-seeded) carry score -inf and
-            # contribute no candidates
+            # contribute no candidates. Take a 2K candidate pool (HF's
+            # beam width): up to K candidates may be EOS and go to the
+            # bank, and K full continuations must still advance.
+            K2 = min(2 * K, K * V)
             cand = scores[..., None] + logp                    # [B, K, V]
-            new_scores, flat_idx = jax.lax.top_k(
-                cand.reshape(B, K * V), K)                     # [B, K]
-            src = flat_idx // V                                # [B, K]
-            tok = (flat_idx % V).astype(jnp.int32)             # [B, K]
+            cand2, flat2 = jax.lax.top_k(
+                cand.reshape(B, K * V), K2)                    # [B, 2K]
+            src2 = flat2 // V                                  # [B, 2K]
+            tok2 = (flat2 % V).astype(jnp.int32)               # [B, 2K]
+            is_eos2 = tok2 == cfg.eos_token_id
+            write = jnp.minimum(t + 1, max_len - 1)
 
-            # reorder beam state by surviving-parent index
+            # bank every EOS candidate in the pool by normalized score
+            par_tokens2 = jnp.take_along_axis(
+                tokens, src2[..., None], axis=1)               # [B,2K,L]
+            par_tokens2 = jax.lax.dynamic_update_slice(
+                par_tokens2, tok2[..., None], (0, 0, write))
+            lens2 = jnp.take_along_axis(lens, src2, axis=1) + 1
+            norm2 = cand2 / jnp.maximum(lens2, 1).astype(
+                jnp.float32) ** length_penalty
+            fin_norm = jnp.where(is_eos2, norm2, -jnp.inf)
+            all_norm = jnp.concatenate([bank_norm, fin_norm], axis=1)
+            all_tokens = jnp.concatenate([bank_tokens, par_tokens2],
+                                         axis=1)
+            bank_norm, bidx = jax.lax.top_k(all_norm, K)       # [B, K]
+            bank_tokens = jnp.take_along_axis(
+                all_tokens, bidx[..., None], axis=1)
+
+            # live beams: the best K non-EOS candidates continue
+            live2 = jnp.where(is_eos2, -jnp.inf, cand2)
+            new_scores, lidx = jax.lax.top_k(live2, K)         # [B, K]
+            src = jnp.take_along_axis(src2, lidx, axis=1)
+            tok = jnp.take_along_axis(tok2, lidx, axis=1)
             tokens = jnp.take_along_axis(tokens, src[..., None], axis=1)
             lens = jnp.take_along_axis(lens, src, axis=1) + 1
             gather = (batch_off + src).reshape(B * K)          # [B·K]
             caches = [(ck[gather], cv[gather]) for ck, cv in caches]
-
-            write = jnp.minimum(t + 1, max_len - 1)
             tokens = jax.lax.dynamic_update_slice(
                 tokens, tok[..., None], (0, 0, write))
-
-            # bank newly-finished hypotheses by normalized score; their
-            # live slot dies (-inf) so the next top_k refills from the
-            # surviving beams' candidates
-            just_done = tok == cfg.eos_token_id
-            norm = new_scores / jnp.maximum(lens, 1).astype(
-                jnp.float32) ** length_penalty
-            fin_norm = jnp.where(just_done, norm, -jnp.inf)
-            all_norm = jnp.concatenate([bank_norm, fin_norm], axis=1)
-            all_tokens = jnp.concatenate([bank_tokens, tokens], axis=1)
-            bank_norm, bidx = jax.lax.top_k(all_norm, K)       # [B, K]
-            bank_tokens = jnp.take_along_axis(
-                all_tokens, bidx[..., None], axis=1)
-            new_scores = jnp.where(just_done, -jnp.inf, new_scores)
             return (tokens, caches, new_scores, lens,
                     bank_tokens, bank_norm), None
 

@@ -41,6 +41,19 @@ def dequantize(q: jax.Array, scale: jax.Array) -> jax.Array:
     return q.astype(jnp.float32) * scale
 
 
+def quantize_rows_np(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """[N, D] float → (int8 [N, D], f32 scales [N]) — per-ROW symmetric,
+    the numpy twin of :func:`quantize_per_channel` (same amax/127
+    scheme, 1e-12 floor) for host-side callers that must not dispatch a
+    device program (the library index quantizes add-blocks under its
+    lock; a tunnel round-trip per add would serialize serving)."""
+    amax = np.max(np.abs(rows), axis=1)
+    scales = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+    q = np.clip(np.round(rows / scales[:, None]), -127, 127
+                ).astype(np.int8)
+    return q, scales
+
+
 def _quant_kernel(w_ref, q_ref, s_ref):
     w = w_ref[...]
     amax = jnp.max(jnp.abs(w), axis=0)

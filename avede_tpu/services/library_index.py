@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..ops.quant import quantize_rows_np as _quantize_rows
 from ..utils.config import settings
 from ..utils.logging import get_logger
 
@@ -104,16 +105,6 @@ def _search_fn(k: int, int8: bool = False):
     return search
 
 
-def _quantize_rows(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """[N, D] float → (int8 [N, D], f32 scales [N]) — per-row symmetric
-    (the embedding cache's disk scheme, ``ops/quant.py`` role)."""
-    amax = np.max(np.abs(rows), axis=1)
-    scales = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
-    q = np.clip(np.round(rows / scales[:, None]), -127, 127
-                ).astype(np.int8)
-    return q, scales
-
-
 class DeviceLibraryIndex:
     """Incrementally-built, device-resident ``[capacity, D]`` embedding
     table with masked rows and O(1)-amortized adds.
@@ -147,7 +138,9 @@ class DeviceLibraryIndex:
         self._shadow_valid: Optional[np.ndarray] = None
         # span bookkeeping (ordered by start row)
         self._starts: List[int] = []
-        self._spans: List[Tuple[str, int, int, np.ndarray]] = []
+        # (video_id, start_row, n_rows, timestamps, frame_indices)
+        self._spans: List[Tuple[str, int, int, np.ndarray,
+                                np.ndarray]] = []
         self._by_vid: Dict[str, int] = {}
         self._rows_end = 0          # first free row
 
@@ -180,17 +173,22 @@ class DeviceLibraryIndex:
         if emb.ndim != 2 or emb.shape[1] != self.dim:
             raise ValueError(f"expected [N, {self.dim}], got {emb.shape}")
         ts = np.asarray(timestamps, np.float32)
+        frames = np.arange(len(emb), dtype=np.int32)
         if settings.LIBRARY_INDEX_DEDUP and len(emb) > 1:
             # lossless run collapse: the scan's duplicate-frame gating
             # scatters the SAME embedding to every frame of a static
             # run, so identical consecutive rows carry zero extra
             # information — keep the run head (its timestamp is the
-            # run's first frame; every frame in the run scores equal)
+            # run's first frame; every frame in the run scores equal).
+            # ``frames`` preserves ORIGINAL sampled-frame indices so
+            # hits report the same frame_index the host path would.
             keep = np.ones(len(emb), bool)
             keep[1:] = ~np.all(emb[1:] == emb[:-1], axis=1)
             if not keep.all():
                 emb = emb[keep]
-                ts = ts[:len(keep)][keep] if len(ts) else ts
+                frames = frames[keep]
+                m = min(len(ts), len(keep))
+                ts = ts[:m][keep[:m]]
         with self._lock:
             n = len(emb)
             padded = _padded(n)
@@ -216,7 +214,7 @@ class DeviceLibraryIndex:
             self._shadow_valid[start:start + padded] = vmask
             idx = bisect.bisect_left(self._starts, start)
             self._starts.insert(idx, start)
-            self._spans.insert(idx, (video_id, start, n, ts))
+            self._spans.insert(idx, (video_id, start, n, ts, frames))
             self._by_vid[video_id] = start
             self._rows_end = start + padded
 
@@ -229,7 +227,7 @@ class DeviceLibraryIndex:
                        device_write: bool = True) -> None:
         start = self._by_vid.pop(video_id)
         idx = self._starts.index(start)
-        _, _, n, _ = self._spans[idx]
+        n = self._spans[idx][2]
         padded = _padded(n)
         del self._starts[idx]
         del self._spans[idx]
@@ -285,19 +283,21 @@ class DeviceLibraryIndex:
 
     @staticmethod
     def _locate(row: int, starts: List[int],
-                spans: List[Tuple[str, int, int, np.ndarray]]
+                spans: List[Tuple[str, int, int, np.ndarray,
+                                  np.ndarray]]
                 ) -> Tuple[str, float, int]:
         j = bisect.bisect_right(starts, row) - 1
-        vid, start, n, ts = spans[j]
-        frame = row - start
-        return vid, float(ts[frame]) if frame < len(ts) else 0.0, frame
+        vid, start, n, ts, frames = spans[j]
+        off = row - start
+        frame = int(frames[off]) if off < len(frames) else off
+        return vid, float(ts[off]) if off < len(ts) else 0.0, frame
 
     # ------------------------------------------------------------------
     def _grow_locked(self, extra_rows: int) -> None:
         """Grow capacity (doubling) and compact removal holes: spans are
         re-laid contiguously in the new shadow, then re-uploaded once."""
         _, jnp = _jax()
-        compacted = sum(_padded(n) for _, _, n, _ in self._spans)
+        compacted = sum(_padded(s[2]) for s in self._spans)
         new_cap = max(_MIN_CAPACITY, self._cap or _MIN_CAPACITY)
         while new_cap < compacted + extra_rows:
             new_cap *= 2
@@ -309,15 +309,16 @@ class DeviceLibraryIndex:
         shadow = np.zeros((new_cap, self.dim), self._shadow_dtype)
         shadow_valid = np.zeros((new_cap,), bool)
         new_starts: List[int] = []
-        new_spans: List[Tuple[str, int, int, np.ndarray]] = []
+        new_spans: List[Tuple[str, int, int, np.ndarray,
+                              np.ndarray]] = []
         pos = 0
-        for vid, start, n, ts in self._spans:
+        for vid, start, n, ts, frames in self._spans:
             padded = _padded(n)
             shadow[pos:pos + padded] = self._shadow[start:start + padded]
             shadow_valid[pos:pos + padded] = \
                 self._shadow_valid[start:start + padded]
             new_starts.append(pos)
-            new_spans.append((vid, pos, n, ts))
+            new_spans.append((vid, pos, n, ts, frames))
             self._by_vid[vid] = pos
             pos += padded
         self._shadow, self._shadow_valid = shadow, shadow_valid
@@ -326,7 +327,14 @@ class DeviceLibraryIndex:
         jax, _ = _jax()
         table_host = shadow.astype(np.float32)
         if self._int8:
-            qtable, qscales = _quantize_rows(table_host)
+            # quantize only the occupied prefix — the dead tail beyond
+            # ``pos`` is masked invalid anyway, and this runs under the
+            # index lock (half the stall at 50% occupancy)
+            qtable = np.zeros((new_cap, self.dim), np.int8)
+            qscales = np.full((new_cap,), 1e-12, np.float32)
+            if pos:
+                qtable[:pos], qscales[:pos] = \
+                    _quantize_rows(table_host[:pos])
             arrays = {"_table": jnp.asarray(qtable),
                       "_scales": jnp.asarray(qscales),
                       "_valid": jnp.asarray(shadow_valid)}

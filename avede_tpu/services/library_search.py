@@ -29,16 +29,18 @@ logger = get_logger(__name__)
 class LibrarySearch:
     def __init__(self, phase1: Phase1Scan) -> None:
         self.phase1 = phase1
-        self._index = None  # lazily-built DeviceLibraryIndex
+        # built EAGERLY (it allocates nothing until the first add):
+        # lazy init would race when a shared instance (ApiState) serves
+        # two first-searches on executor threads — each would build and
+        # populate its own full device table
+        from .library_index import DeviceLibraryIndex
+
+        engine = phase1.engine
+        self._index = DeviceLibraryIndex(
+            engine.cfg.projection_dim,
+            mesh=getattr(engine, "mesh", None))
 
     def _device_index(self):
-        if self._index is None:
-            from .library_index import DeviceLibraryIndex
-
-            engine = self.phase1.engine
-            self._index = DeviceLibraryIndex(
-                engine.cfg.projection_dim,
-                mesh=getattr(engine, "mesh", None))
         return self._index
 
     def invalidate(self, video_id: str) -> None:

@@ -82,7 +82,7 @@ class TestDeviceLibraryIndex:
         hits = idx.search(q, 3)
         # oracle over the surviving spans' rows (read from the shadow)
         all_emb = np.concatenate([idx._shadow[s: s + n].astype(np.float32)
-                                  for _, s, n, _ in idx._spans])
+                                  for _, s, n, _, _ in idx._spans])
         expect = np.sort(all_emb @ q)[::-1][:3]
         # f32 index keeps an f32 shadow, so growth is exact
         np.testing.assert_allclose([h["confidence"] for h in hits],
@@ -108,6 +108,9 @@ class TestDeviceLibraryIndex:
         assert idx.n_rows == 4
         hits = idx.search(uniq[2], 2)
         assert hits[0]["timestamp"] == 6.0   # run C starts at frame 6
+        # frame_index reports the ORIGINAL sampled-frame index, not the
+        # offset into the collapsed table (host-path compatible)
+        assert hits[0]["frame_index"] == 6
         np.testing.assert_allclose(hits[0]["confidence"], 1.0, atol=1e-5)
 
         monkeypatch.setattr(settings, "LIBRARY_INDEX_DEDUP", False)
@@ -247,11 +250,13 @@ class TestIndexedLibrarySearch:
                 w.write(frame)
             w.release()
 
+        # dtype must be set BEFORE construction: the index is built
+        # eagerly in __init__ (race-free sharing across requests)
+        monkeypatch.setattr(settings, "LIBRARY_INDEX_ENABLED", True)
+        monkeypatch.setattr(settings, "LIBRARY_INDEX_DTYPE", "float32")
         engine = ClipEngine(cfg=tiny_test_config())
         search = LibrarySearch(Phase1Scan(engine))
 
-        monkeypatch.setattr(settings, "LIBRARY_INDEX_ENABLED", True)
-        monkeypatch.setattr(settings, "LIBRARY_INDEX_DTYPE", "float32")
         indexed = search.search("a thing", top_k=6, threshold=-1.0)
         assert indexed["metadata"]["index"]["device_resident"]
 
