@@ -398,6 +398,23 @@ def _supervised() -> None:
                     result["detail"]["carried_from_last_good"] = carried
                 if result["value"] >= prev.get("value", 0):
                     cache.write_text(json.dumps(result, indent=1))
+                else:
+                    # the primary didn't set a record, but freshly
+                    # measured secondaries must not be lost to primary
+                    # variance — merge them into the cached best
+                    merged = False
+                    for key in ("yolov8n_detect_nms_fps",
+                                "cold_scan_overlap",
+                                "library_search_p50_ms_1M_rows",
+                                "warm_query_p50_ms_600frames"):
+                        val = result["detail"].get(key)
+                        if (val is not None and key not in carried
+                                and prev_detail.get(key) != val):
+                            prev_detail[key] = val
+                            merged = True
+                    if merged:
+                        prev["detail"] = prev_detail
+                        cache.write_text(json.dumps(prev, indent=1))
                 print(json.dumps(result))
                 return
     if cache.exists():
