@@ -25,7 +25,7 @@ import threading
 import time
 from collections import OrderedDict
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -171,3 +171,78 @@ class EmbeddingCache:
         files = list(self.dir.glob("*.npz"))
         return {"entries": len(files),
                 "bytes": sum(f.stat().st_size for f in files)}
+
+
+class FrameReprCache:
+    """Per-frame, query-INDEPENDENT rerank representations, cached per
+    video next to the embedding tables.
+
+    Phase 2 re-derived its rerank inputs (BLIP captions / BLIP-2
+    Q-Former image features) from pixels on every warm query — the only
+    step that still read the video after embeddings were cached. Those
+    representations depend only on (frame, model), so they cache
+    exactly like embeddings: ``<video_id>.<kind>.npz`` mapping
+    ``r<timestamp_ms>`` → array (captions are numpy unicode scalars —
+    npz-safe without pickle), with a ``tag`` entry for model-identity
+    invalidation. In-memory dict tier in front of disk."""
+
+    def __init__(self, kind: str, cache_dir: Optional[str] = None) -> None:
+        self.kind = kind
+        self.dir = Path(cache_dir or settings.EMBEDDING_DIR)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._mem: Dict[str, Dict[str, np.ndarray]] = {}
+        self._lock = threading.Lock()
+
+    def _path(self, video_id: str) -> Path:
+        return self.dir / f"{video_id}.{self.kind}.npz"
+
+    @staticmethod
+    def key(timestamp: float) -> str:
+        return f"r{int(round(timestamp * 1000))}"
+
+    def _load(self, video_id: str, tag: str) -> Dict[str, np.ndarray]:
+        if video_id in self._mem:
+            return self._mem[video_id]
+        entries: Dict[str, np.ndarray] = {}
+        p = self._path(video_id)
+        if p.exists():
+            try:
+                with np.load(p, allow_pickle=False) as z:
+                    if str(z["tag"]) == tag:
+                        entries = {k: z[k] for k in z.files if k != "tag"}
+                    else:
+                        logger.info("Repr cache tag changed for %s "
+                                    "(%s) — discarding", video_id,
+                                    self.kind)
+            except (OSError, ValueError, KeyError) as exc:
+                logger.warning("Corrupt repr cache for %s: %s",
+                               video_id, exc)
+        self._mem[video_id] = entries
+        return entries
+
+    def get_many(self, video_id: str, tag: str, timestamps
+                 ) -> Dict[str, np.ndarray]:
+        """→ {key: repr} for the cached subset of ``timestamps``."""
+        with self._lock:
+            entries = self._load(video_id, tag)
+            keys = [self.key(t) for t in timestamps]
+            return {k: entries[k] for k in keys if k in entries}
+
+    def put_many(self, video_id: str, tag: str,
+                 new: Dict[str, np.ndarray]) -> None:
+        if not new:
+            return
+        with self._lock:
+            entries = self._load(video_id, tag)
+            entries.update(new)
+            try:
+                np.savez(self._path(video_id), tag=np.str_(tag),
+                         **entries)
+            except OSError as exc:  # disk full etc — keep memory tier
+                logger.warning("Repr cache write failed for %s: %s",
+                               video_id, exc)
+
+    def invalidate(self, video_id: str) -> None:
+        with self._lock:
+            self._mem.pop(video_id, None)
+            self._path(video_id).unlink(missing_ok=True)

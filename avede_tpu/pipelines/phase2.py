@@ -36,6 +36,7 @@ class Phase2Rerank:
     def __init__(self, phase1: Phase1Scan, captioner=None) -> None:
         self.phase1 = phase1
         self._captioner = captioner
+        self._repr_cache = None
 
     @property
     def captioner(self):
@@ -44,6 +45,36 @@ class Phase2Rerank:
 
             self._captioner = make_reranker(self.phase1.engine)
         return self._captioner
+
+    def _reprs(self, video_path: str, video_id: Optional[str],
+               timestamps: List[float]) -> List[np.ndarray]:
+        """Query-independent rerank representations for candidate
+        frames — cached per (video, frame, model) like embeddings, so a
+        warm rerank touches neither the video file nor BLIP."""
+        cap = self.captioner
+        if video_id is None:
+            frames = self.phase1.reader.read_frames_at(video_path,
+                                                       timestamps)
+            return cap.frame_repr(frames)
+        if self._repr_cache is None:
+            from ..io.embedding_cache import FrameReprCache
+
+            emb_cache = self.phase1.cache
+            self._repr_cache = FrameReprCache(
+                cap.repr_kind,
+                cache_dir=str(emb_cache.dir) if emb_cache else None)
+        tag = cap.repr_tag
+        hit = self._repr_cache.get_many(video_id, tag, timestamps)
+        keyf = self._repr_cache.key
+        missing = [t for t in timestamps if keyf(t) not in hit]
+        if missing:
+            frames = self.phase1.reader.read_frames_at(video_path,
+                                                       missing)
+            fresh = dict(zip((keyf(t) for t in missing),
+                             cap.frame_repr(frames)))
+            self._repr_cache.put_many(video_id, tag, fresh)
+            hit.update(fresh)
+        return [hit[keyf(t)] for t in timestamps]
 
     def process_video(self, video_path: str, query: str,
                       top_k: Optional[int] = None,
@@ -56,12 +87,13 @@ class Phase2Rerank:
         if not candidates:
             return []
 
-        # read ONLY the candidate middle frames (one capture, K seeks)
-        frames = self.phase1.reader.read_frames_at(
-            video_path, [c["timestamp"] for c in candidates])
-        # reranker: BLIP captions + CLIP text similarity, or BLIP-2
-        # Q-Former ITC scores (services/captioner.make_reranker)
-        cap_sim, aux = self.captioner.rerank_scores(frames, query)
+        # query-independent reprs (BLIP captions / BLIP-2 image
+        # features) come from the per-frame cache; only MISSING frames
+        # are read (one capture, K seeks) and run through the model.
+        # A warm rerank is therefore text-similarity only.
+        reprs = self._reprs(video_path, video_id,
+                            [c["timestamp"] for c in candidates])
+        cap_sim, aux = self.captioner.scores_from_repr(reprs, query)
 
         for c, extra, s in zip(candidates, aux, cap_sim):
             c.update(extra)

@@ -45,15 +45,18 @@ class CaptionService:
             cfg = with_compute_dtype(blip_base())
         self.cfg = cfg
         weights_path = weights_path or settings.BLIP_WEIGHTS
+        self._param_src = "explicit"
         if params is not None:
             self.model = BlipCaptioner(self.cfg)
             self.params = params
         elif weights_path and Path(weights_path).exists():
             self.model = BlipCaptioner(self.cfg)
             self.params = load_params(weights_path)
+            self._param_src = "ckpt"
             logger.info("BLIP weights loaded from %s", weights_path)
         else:
             self.model, self.params = init_blip(self.cfg, seed=0)
+            self._param_src = "rand0"
             logger.info("BLIP randomly initialised (no checkpoint)")
         if vocab_path and Path(vocab_path).exists():
             self.decoder = WordPieceTokenizer(vocab_path)
@@ -112,11 +115,32 @@ class CaptionService:
         return (cap_e @ q_e).astype(np.float32)
 
     # Phase-2 reranker interface -----------------------------------------
-    def rerank_scores(self, frames: np.ndarray, query: str
-                      ) -> "tuple[np.ndarray, List[dict]]":
-        caps = self.caption_frames(frames)
+    # frame_repr is the query-INDEPENDENT half (cacheable per frame by
+    # io.embedding_cache.FrameReprCache); scores_from_repr is the cheap
+    # query-dependent half.
+    repr_kind = "blipcap"
+
+    @property
+    def repr_tag(self) -> str:
+        c = self.cfg
+        beams = max(1, int(settings.CAPTION_NUM_BEAMS))
+        return (f"capv1|{c.vision_depth}x{c.vision_dim}"
+                f"|{c.text_depth}x{c.text_dim}|b{beams}"
+                f"|p{float(settings.CAPTION_LENGTH_PENALTY):g}"
+                f"|{self._param_src}")
+
+    def frame_repr(self, frames: np.ndarray) -> List[np.ndarray]:
+        return [np.str_(c) for c in self.caption_frames(frames)]
+
+    def scores_from_repr(self, reprs: List[np.ndarray], query: str
+                         ) -> "tuple[np.ndarray, List[dict]]":
+        caps = [str(r) for r in reprs]
         sims = self.caption_query_similarity(caps, query)
         return sims, [{"caption": c} for c in caps]
+
+    def rerank_scores(self, frames: np.ndarray, query: str
+                      ) -> "tuple[np.ndarray, List[dict]]":
+        return self.scores_from_repr(self.frame_repr(frames), query)
 
 
 class Blip2RerankService:
@@ -139,15 +163,18 @@ class Blip2RerankService:
             cfg = with_compute_dtype(QFormerConfig())
         self.cfg = cfg
         weights_path = weights_path or settings.BLIP_WEIGHTS
+        self._param_src = "explicit"
         if params is not None:
             self.model = Blip2Retrieval(self.cfg)
             self.params = params
         elif weights_path and Path(weights_path).exists():
             self.model = Blip2Retrieval(self.cfg)
             self.params = load_params(weights_path)
+            self._param_src = "ckpt"
             logger.info("BLIP-2 weights loaded from %s", weights_path)
         else:
             self.model, self.params = init_blip2(self.cfg, seed=0)
+            self._param_src = "rand0"
             logger.info("BLIP-2 Q-Former randomly initialised")
         vocab = settings.TOKENIZER_VOCAB
         self.tokenizer = (WordPieceTokenizer(vocab)
@@ -171,14 +198,54 @@ class Blip2RerankService:
 
     def rerank_scores(self, frames: np.ndarray, query: str
                       ) -> "tuple[np.ndarray, List[dict]]":
+        return self.scores_from_repr(self.frame_repr(frames), query)
+
+    # query-independent / query-dependent split (see CaptionService)
+    repr_kind = "blip2img"
+
+    @property
+    def repr_tag(self) -> str:
+        c = self.cfg
+        return (f"itcv1|{c.num_query_tokens}q|{c.projection_dim}d"
+                f"|{self._param_src}")
+
+    def frame_repr(self, frames: np.ndarray) -> List[np.ndarray]:
+        """→ per-frame normalized Q-Former image embeddings [Q, D]."""
+        shape = frames.shape[1:]
+        if ("img", shape) not in self._fns:
+            model, size = self.model, self.cfg.image_size
+
+            @jax.jit
+            def run(params, frames_u8):
+                px = blip_preprocess(frames_u8, size=size)
+                return model.apply({"params": params}, px,
+                                   method=model.image_embeds)
+
+            self._fns[("img", shape)] = run
+        img = np.asarray(self._fns[("img", shape)](
+            self.params, jnp.asarray(frames)), np.float32)
+        return [row for row in img]
+
+    def scores_from_repr(self, reprs: List[np.ndarray], query: str
+                         ) -> "tuple[np.ndarray, List[dict]]":
         ids_list = self.tokenizer.encode(query)[:30]
         ids = np.asarray([[101] + ids_list + [102]], np.int32)  # CLS/SEP
         mask = np.ones_like(ids, bool)
-        scores = np.asarray(self._fn(frames.shape[1:])(
-            self.params, jnp.asarray(frames), jnp.asarray(ids),
-            jnp.asarray(mask)))[:, 0]
-        return scores.astype(np.float32), [{"itc_score": float(s)}
-                                           for s in scores]
+        if "txt" not in self._fns:
+            model = self.model
+
+            @jax.jit
+            def run(params, ids, mask):
+                return model.apply({"params": params}, ids, mask,
+                                   method=model.text_embeds)
+
+            self._fns["txt"] = run
+        txt = np.asarray(self._fns["txt"](
+            self.params, jnp.asarray(ids), jnp.asarray(mask)),
+            np.float32)[0]                                # [D]
+        img = np.stack([np.asarray(r, np.float32) for r in reprs])
+        scores = (img @ txt).max(axis=1).astype(np.float32)  # max over Q
+        return scores, [{"itc_score": float(s)} for s in scores]
 
 
 def make_reranker(engine: ClipEngine):

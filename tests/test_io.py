@@ -228,3 +228,35 @@ class TestLongVideo:
         assert ts[-1] > 1150 / 30.0 * 0.95
         steps = np.diff([t * 30.0 for t in ts])
         assert steps.std() < 1.0  # near-constant stride
+
+
+class TestFrameReprCache:
+    def test_roundtrip_across_instances(self, tmp_path):
+        """Disk tier: a fresh instance (process restart) sees cached
+        reprs; a tag change discards them."""
+        from avede_tpu.io.embedding_cache import FrameReprCache
+
+        c1 = FrameReprCache("blipcap", cache_dir=str(tmp_path))
+        reprs = {c1.key(1.5): np.str_("a white square"),
+                 c1.key(3.0): np.str_("a dark frame")}
+        c1.put_many("vid", "tagA", reprs)
+
+        c2 = FrameReprCache("blipcap", cache_dir=str(tmp_path))
+        hit = c2.get_many("vid", "tagA", [1.5, 3.0, 9.9])
+        assert set(hit) == {c2.key(1.5), c2.key(3.0)}
+        assert str(hit[c2.key(1.5)]) == "a white square"
+
+        c3 = FrameReprCache("blipcap", cache_dir=str(tmp_path))
+        assert c3.get_many("vid", "tagB", [1.5]) == {}
+
+    def test_array_reprs(self, tmp_path):
+        """BLIP-2 image-feature arrays round-trip (no pickle)."""
+        from avede_tpu.io.embedding_cache import FrameReprCache
+
+        c = FrameReprCache("blip2img", cache_dir=str(tmp_path))
+        arr = np.random.default_rng(0).normal(size=(4, 24)).astype(
+            np.float32)
+        c.put_many("v", "t", {c.key(2.0): arr})
+        c2 = FrameReprCache("blip2img", cache_dir=str(tmp_path))
+        got = c2.get_many("v", "t", [2.0])[c2.key(2.0)]
+        np.testing.assert_array_equal(got, arr)

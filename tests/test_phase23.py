@@ -49,6 +49,54 @@ class TestPhase2:
         confs = [r["confidence"] for r in out]
         assert confs == sorted(confs, reverse=True)
 
+    def test_warm_rerank_reads_no_frames(self, tiny_stack, test_video):
+        """Second rerank of the same video must touch neither the video
+        file nor BLIP: captions come from the per-frame repr cache."""
+        p1, p2, p3 = tiny_stack
+        first = p2.process_video(test_video, "white square", top_k=4,
+                                 threshold=-1.0, video_id="warmtest")
+        assert first
+        reads = {"n": 0}
+        orig = p1.reader.read_frames_at
+
+        def counting(path, ts):
+            reads["n"] += 1
+            return orig(path, ts)
+
+        p1.reader.read_frames_at = counting
+        caps = {"n": 0}
+        orig_repr = p2.captioner.frame_repr
+
+        def counting_repr(frames):
+            caps["n"] += 1
+            return orig_repr(frames)
+
+        p2.captioner.frame_repr = counting_repr
+        second = p2.process_video(test_video, "white square", top_k=4,
+                                  threshold=-1.0, video_id="warmtest")
+        assert reads["n"] == 0 and caps["n"] == 0
+        assert [r["timestamp"] for r in second] == \
+               [r["timestamp"] for r in first]
+        np.testing.assert_allclose(
+            [r["confidence"] for r in second],
+            [r["confidence"] for r in first], atol=1e-6)
+
+    def test_repr_cache_tag_invalidates(self, tiny_stack, test_video,
+                                        monkeypatch):
+        """A caption-model knob change (beams) changes the repr tag and
+        discards stale cached captions."""
+        from avede_tpu.utils.config import settings
+
+        p1, p2, p3 = tiny_stack
+        p2.process_video(test_video, "white square", top_k=3,
+                         threshold=-1.0, video_id="tagtest")
+        tag_before = p2.captioner.repr_tag
+        monkeypatch.setattr(settings, "CAPTION_NUM_BEAMS", 3)
+        assert p2.captioner.repr_tag != tag_before
+        out = p2.process_video(test_video, "white square", top_k=3,
+                               threshold=-1.0, video_id="tagtest")
+        assert out  # recomputed under the new tag without error
+
     def test_caption_batching(self, tiny_stack):
         p1, p2, p3 = tiny_stack
         frames = np.random.default_rng(0).integers(

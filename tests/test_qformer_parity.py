@@ -104,3 +104,26 @@ class TestBlip2Rerank:
         for r in out:
             assert "itc_score" in r
             assert r["phase"] == "phase2_reranked"
+
+    def test_split_rerank_matches_fused_itc(self, pair):
+        """frame_repr + scores_from_repr (the cacheable split) must
+        reproduce the fused ITC forward exactly."""
+        import jax.numpy as jnp
+
+        from avede_tpu.services.captioner import Blip2RerankService
+
+        hf, model, params, cfg = pair
+        b2 = Blip2RerankService(cfg=cfg, params=params)
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 255, (3, 32, 32, 3), np.uint8)
+        query = "a white square"
+        split_scores, _ = b2.rerank_scores(frames, query)
+
+        from avede_tpu.ops.preprocess import blip_preprocess
+        ids_list = b2.tokenizer.encode(query)[:30]
+        ids = np.asarray([[101] + ids_list + [102]], np.int32)
+        fused = np.asarray(model.apply(
+            {"params": params},
+            blip_preprocess(jnp.asarray(frames), size=cfg.image_size),
+            jnp.asarray(ids), jnp.asarray(np.ones_like(ids, bool))))[:, 0]
+        np.testing.assert_allclose(split_scores, fused, atol=1e-5)
