@@ -190,7 +190,13 @@ class FrameReprCache:
         self.kind = kind
         self.dir = Path(cache_dir or settings.EMBEDDING_DIR)
         self.dir.mkdir(parents=True, exist_ok=True)
-        self._mem: Dict[str, Dict[str, np.ndarray]] = {}
+        # memory tier: video_id → (tag, entries), LRU-evicted under a
+        # byte budget like EmbeddingCache's tier — the tag is PART of
+        # the cached value, so an in-process model-knob change discards
+        # rather than serves (and never persists) stale reprs
+        self._mem: "OrderedDict[str, Tuple[str, Dict[str, np.ndarray]]]" \
+            = OrderedDict()
+        self._mem_bytes = 0
         self._lock = threading.Lock()
 
     def _path(self, video_id: str) -> Path:
@@ -200,9 +206,27 @@ class FrameReprCache:
     def key(timestamp: float) -> str:
         return f"r{int(round(timestamp * 1000))}"
 
-    def _load(self, video_id: str, tag: str) -> Dict[str, np.ndarray]:
+    @staticmethod
+    def _nbytes(entries: Dict[str, np.ndarray]) -> int:
+        return sum(getattr(v, "nbytes", 64) for v in entries.values())
+
+    def _mem_store(self, video_id: str, tag: str,
+                   entries: Dict[str, np.ndarray]) -> None:
         if video_id in self._mem:
-            return self._mem[video_id]
+            self._mem_bytes -= self._nbytes(self._mem[video_id][1])
+            del self._mem[video_id]
+        self._mem[video_id] = (tag, entries)
+        self._mem_bytes += self._nbytes(entries)
+        budget = settings.EMBEDDING_MEM_CACHE_MB * (1 << 20)
+        while self._mem_bytes > budget and len(self._mem) > 1:
+            _, (_, old) = self._mem.popitem(last=False)
+            self._mem_bytes -= self._nbytes(old)
+
+    def _load(self, video_id: str, tag: str) -> Dict[str, np.ndarray]:
+        hit = self._mem.get(video_id)
+        if hit is not None and hit[0] == tag:
+            self._mem.move_to_end(video_id)
+            return hit[1]
         entries: Dict[str, np.ndarray] = {}
         p = self._path(video_id)
         if p.exists():
@@ -217,7 +241,7 @@ class FrameReprCache:
             except (OSError, ValueError, KeyError) as exc:
                 logger.warning("Corrupt repr cache for %s: %s",
                                video_id, exc)
-        self._mem[video_id] = entries
+        self._mem_store(video_id, tag, entries)
         return entries
 
     def get_many(self, video_id: str, tag: str, timestamps
@@ -235,14 +259,23 @@ class FrameReprCache:
         with self._lock:
             entries = self._load(video_id, tag)
             entries.update(new)
+            self._mem_store(video_id, tag, entries)
             try:
-                np.savez(self._path(video_id), tag=np.str_(tag),
-                         **entries)
+                # atomic replace: a crash mid-write must not truncate
+                # the only copy of every cached repr for the video.
+                # The tmp name must END in .npz — np.savez appends the
+                # extension otherwise and the rename source vanishes.
+                p = self._path(video_id)
+                tmp = p.with_name(p.stem + ".tmp.npz")
+                np.savez(tmp, tag=np.str_(tag), **entries)
+                tmp.replace(p)
             except OSError as exc:  # disk full etc — keep memory tier
                 logger.warning("Repr cache write failed for %s: %s",
                                video_id, exc)
 
     def invalidate(self, video_id: str) -> None:
         with self._lock:
-            self._mem.pop(video_id, None)
+            hit = self._mem.pop(video_id, None)
+            if hit is not None:
+                self._mem_bytes -= self._nbytes(hit[1])
             self._path(video_id).unlink(missing_ok=True)

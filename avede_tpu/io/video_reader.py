@@ -259,16 +259,20 @@ class VideoReader:
                                    interpolation=cv2.INTER_AREA)
         return cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
 
-    def read_frames_at(self, path: str,
-                       timestamps: List[float]) -> np.ndarray:
+    def read_frames_at(self, path: str, timestamps: List[float],
+                       return_ok: bool = False):
         """Batch variant of ``read_frame_at``: one capture, seek per
         timestamp (phase-2 reads K candidate frames; K opens would
-        dominate)."""
+        dominate). Failed reads stay zero-filled; with
+        ``return_ok=True`` also returns a [N] success mask so callers
+        that CACHE derived values can exclude transient decode failures
+        instead of persisting black-frame results."""
         import cv2
 
         meta = probe_video(path)
         tw, th = _fit_size(meta.width, meta.height, self.max_side)
         out = np.zeros((len(timestamps), th, tw, 3), np.uint8)
+        ok_mask = np.zeros((len(timestamps),), bool)
         cap = cv2.VideoCapture(str(path))
         if not cap.isOpened():
             raise VideoDecodeError(f"cannot open video: {path}")
@@ -280,9 +284,10 @@ class VideoReader:
                 ok, frame = cap.read()
                 if ok:
                     out[n] = self._convert(frame, tw, th)
+                    ok_mask[n] = True
         finally:
             cap.release()
-        return out
+        return (out, ok_mask) if return_ok else out
 
     def read_frame_at(self, path: str, timestamp: float) -> np.ndarray:
         """Single frame at a timestamp (RGB uint8, resized)."""

@@ -179,6 +179,7 @@ class WordPieceTokenizer:
     ``vocab.txt``; decode merges ``##`` continuations."""
 
     def __init__(self, vocab_path: str) -> None:
+        self.vocab_path = str(vocab_path)  # cache-tag identity
         words = Path(vocab_path).read_text("utf-8").splitlines()
         self.vocab = {w: i for i, w in enumerate(words)}
         self.inv = words

@@ -16,6 +16,7 @@ Fixed by design relative to the reference:
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -37,6 +38,7 @@ class Phase2Rerank:
         self.phase1 = phase1
         self._captioner = captioner
         self._repr_cache = None
+        self._cache_lock = threading.Lock()
 
     @property
     def captioner(self):
@@ -57,22 +59,30 @@ class Phase2Rerank:
                                                        timestamps)
             return cap.frame_repr(frames)
         if self._repr_cache is None:
-            from ..io.embedding_cache import FrameReprCache
+            with self._cache_lock:   # concurrent API requests share us
+                if self._repr_cache is None:
+                    from ..io.embedding_cache import FrameReprCache
 
-            emb_cache = self.phase1.cache
-            self._repr_cache = FrameReprCache(
-                cap.repr_kind,
-                cache_dir=str(emb_cache.dir) if emb_cache else None)
+                    emb_cache = self.phase1.cache
+                    self._repr_cache = FrameReprCache(
+                        cap.repr_kind,
+                        cache_dir=str(emb_cache.dir) if emb_cache
+                        else None)
         tag = cap.repr_tag
         hit = self._repr_cache.get_many(video_id, tag, timestamps)
         keyf = self._repr_cache.key
         missing = [t for t in timestamps if keyf(t) not in hit]
         if missing:
-            frames = self.phase1.reader.read_frames_at(video_path,
-                                                       missing)
+            frames, ok = self.phase1.reader.read_frames_at(
+                video_path, missing, return_ok=True)
             fresh = dict(zip((keyf(t) for t in missing),
                              cap.frame_repr(frames)))
-            self._repr_cache.put_many(video_id, tag, fresh)
+            # persist only successfully-decoded frames: a transient
+            # read failure must not pin a black-frame repr forever
+            self._repr_cache.put_many(video_id, tag, {
+                keyf(t): r for t, good, r in zip(
+                    missing, ok, (fresh[keyf(t)] for t in missing))
+                if good})
             hit.update(fresh)
         return [hit[keyf(t)] for t in timestamps]
 

@@ -32,6 +32,18 @@ from ..utils.logging import get_logger
 logger = get_logger(__name__)
 
 
+def _params_identity(params) -> str:
+    """Stable identity for explicitly-passed params — md5 of one leaf,
+    the ClipEngine._tag convention: different weights must never share
+    repr-cache entries."""
+    import hashlib
+
+    import jax
+
+    leaf = np.asarray(jax.tree_util.tree_leaves(params)[0])
+    return "explicit:" + hashlib.md5(leaf.tobytes()).hexdigest()[:8]
+
+
 class CaptionService:
     def __init__(self, engine: ClipEngine,
                  cfg: Optional[BlipConfig] = None,
@@ -45,14 +57,14 @@ class CaptionService:
             cfg = with_compute_dtype(blip_base())
         self.cfg = cfg
         weights_path = weights_path or settings.BLIP_WEIGHTS
-        self._param_src = "explicit"
         if params is not None:
             self.model = BlipCaptioner(self.cfg)
             self.params = params
+            self._param_src = _params_identity(params)
         elif weights_path and Path(weights_path).exists():
             self.model = BlipCaptioner(self.cfg)
             self.params = load_params(weights_path)
-            self._param_src = "ckpt"
+            self._param_src = f"ckpt:{weights_path}"
             logger.info("BLIP weights loaded from %s", weights_path)
         else:
             self.model, self.params = init_blip(self.cfg, seed=0)
@@ -124,10 +136,13 @@ class CaptionService:
     def repr_tag(self) -> str:
         c = self.cfg
         beams = max(1, int(settings.CAPTION_NUM_BEAMS))
-        return (f"capv1|{c.vision_depth}x{c.vision_dim}"
+        dec = (f"wp:{getattr(self.decoder, 'vocab_path', '')}"
+               if isinstance(self.decoder, WordPieceTokenizer)
+               else type(self.decoder).__name__)
+        return (f"capv1|{c.image_size}px|{c.vision_depth}x{c.vision_dim}"
                 f"|{c.text_depth}x{c.text_dim}|b{beams}"
                 f"|p{float(settings.CAPTION_LENGTH_PENALTY):g}"
-                f"|{self._param_src}")
+                f"|{dec}|{self._param_src}")
 
     def frame_repr(self, frames: np.ndarray) -> List[np.ndarray]:
         return [np.str_(c) for c in self.caption_frames(frames)]
@@ -163,14 +178,14 @@ class Blip2RerankService:
             cfg = with_compute_dtype(QFormerConfig())
         self.cfg = cfg
         weights_path = weights_path or settings.BLIP_WEIGHTS
-        self._param_src = "explicit"
         if params is not None:
             self.model = Blip2Retrieval(self.cfg)
             self.params = params
+            self._param_src = _params_identity(params)
         elif weights_path and Path(weights_path).exists():
             self.model = Blip2Retrieval(self.cfg)
             self.params = load_params(weights_path)
-            self._param_src = "ckpt"
+            self._param_src = f"ckpt:{weights_path}"
             logger.info("BLIP-2 weights loaded from %s", weights_path)
         else:
             self.model, self.params = init_blip2(self.cfg, seed=0)
@@ -184,18 +199,6 @@ class Blip2RerankService:
                               self.cfg.vocab_size))
         self._fns = {}
 
-    def _fn(self, shape):
-        if shape not in self._fns:
-            model, size = self.model, self.cfg.image_size
-
-            @jax.jit
-            def run(params, frames_u8, ids, mask):
-                px = blip_preprocess(frames_u8, size=size)
-                return model.apply({"params": params}, px, ids, mask)
-
-            self._fns[shape] = run
-        return self._fns[shape]
-
     def rerank_scores(self, frames: np.ndarray, query: str
                       ) -> "tuple[np.ndarray, List[dict]]":
         return self.scores_from_repr(self.frame_repr(frames), query)
@@ -206,11 +209,14 @@ class Blip2RerankService:
     @property
     def repr_tag(self) -> str:
         c = self.cfg
-        return (f"itcv1|{c.num_query_tokens}q|{c.projection_dim}d"
-                f"|{self._param_src}")
+        return (f"itcv1|{c.image_size}px|{c.vision_depth}x{c.vision_dim}"
+                f"|{c.num_query_tokens}q|{c.projection_dim}d"
+                f"|{c.hidden}h|{c.depth}L|{self._param_src}")
 
     def frame_repr(self, frames: np.ndarray) -> List[np.ndarray]:
         """→ per-frame normalized Q-Former image embeddings [Q, D]."""
+        if len(frames) == 0:
+            return []
         shape = frames.shape[1:]
         if ("img", shape) not in self._fns:
             model, size = self.model, self.cfg.image_size
@@ -228,6 +234,8 @@ class Blip2RerankService:
 
     def scores_from_repr(self, reprs: List[np.ndarray], query: str
                          ) -> "tuple[np.ndarray, List[dict]]":
+        if not reprs:
+            return np.zeros((0,), np.float32), []
         ids_list = self.tokenizer.encode(query)[:30]
         ids = np.asarray([[101] + ids_list + [102]], np.int32)  # CLS/SEP
         mask = np.ones_like(ids, bool)

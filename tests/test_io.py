@@ -260,3 +260,19 @@ class TestFrameReprCache:
         c2 = FrameReprCache("blip2img", cache_dir=str(tmp_path))
         got = c2.get_many("v", "t", [2.0])[c2.key(2.0)]
         np.testing.assert_array_equal(got, arr)
+
+    def test_mem_tier_respects_tag(self, tmp_path):
+        """Tag change must invalidate the MEMORY tier too — serving
+        tagA entries for a tagB request (and persisting the mix) was
+        the in-process stale-model bug."""
+        from avede_tpu.io.embedding_cache import FrameReprCache
+
+        c = FrameReprCache("blipcap", cache_dir=str(tmp_path))
+        c.put_many("v", "tagA", {c.key(1.0): np.str_("old caption")})
+        assert c.get_many("v", "tagA", [1.0])  # mem hit
+        # same instance, new tag: must NOT serve the tagA entry
+        assert c.get_many("v", "tagB", [1.0]) == {}
+        c.put_many("v", "tagB", {c.key(2.0): np.str_("new caption")})
+        # the tagB file contains only tagB entries
+        c2 = FrameReprCache("blipcap", cache_dir=str(tmp_path))
+        assert set(c2.get_many("v", "tagB", [1.0, 2.0])) == {c2.key(2.0)}
