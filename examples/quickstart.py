@@ -16,7 +16,11 @@ import os
 import sys
 import time
 
-from avede_tpu.utils.platform import apply_platform_env
+# runnable as `python examples/quickstart.py` from anywhere — put the
+# repo root on sys.path (python puts only examples/ there)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from avede_tpu.utils.platform import apply_platform_env  # noqa: E402
 
 
 def main() -> None:
