@@ -184,12 +184,25 @@ class FrameReprCache:
     exactly like embeddings: ``<video_id>.<kind>.npz`` mapping
     ``r<timestamp_ms>`` → array (captions are numpy unicode scalars —
     npz-safe without pickle), with a ``tag`` entry for model-identity
-    invalidation. In-memory dict tier in front of disk."""
+    invalidation. In-memory dict tier in front of disk.
 
-    def __init__(self, kind: str, cache_dir: Optional[str] = None) -> None:
+    Concurrency: the load-merge-save in ``put_many`` is guarded by an
+    in-process lock only — the serving stack runs ONE process per node
+    (``robust_server.py`` supervises a single worker), so cross-process
+    writers are out of contract; two independent processes pointed at
+    the same cache dir could drop each other's merged entries.
+
+    ``persist=False`` keeps the cache memory-only (used when the
+    embedding cache is disabled: disabling caching must not keep
+    writing rerank reprs to disk)."""
+
+    def __init__(self, kind: str, cache_dir: Optional[str] = None,
+                 persist: bool = True) -> None:
         self.kind = kind
+        self.persist = persist
         self.dir = Path(cache_dir or settings.EMBEDDING_DIR)
-        self.dir.mkdir(parents=True, exist_ok=True)
+        if persist:
+            self.dir.mkdir(parents=True, exist_ok=True)
         # memory tier: video_id → (tag, entries), LRU-evicted under a
         # byte budget like EmbeddingCache's tier — the tag is PART of
         # the cached value, so an in-process model-knob change discards
@@ -215,9 +228,11 @@ class FrameReprCache:
         if video_id in self._mem:
             self._mem_bytes -= self._nbytes(self._mem[video_id][1])
             del self._mem[video_id]
+        budget = settings.EMBEDDING_MEM_CACHE_MB * (1 << 20)
+        if budget <= 0:     # 0 disables the tier (EmbeddingCache rule)
+            return
         self._mem[video_id] = (tag, entries)
         self._mem_bytes += self._nbytes(entries)
-        budget = settings.EMBEDDING_MEM_CACHE_MB * (1 << 20)
         while self._mem_bytes > budget and len(self._mem) > 1:
             _, (_, old) = self._mem.popitem(last=False)
             self._mem_bytes -= self._nbytes(old)
@@ -229,7 +244,7 @@ class FrameReprCache:
             return hit[1]
         entries: Dict[str, np.ndarray] = {}
         p = self._path(video_id)
-        if p.exists():
+        if self.persist and p.exists():
             try:
                 with np.load(p, allow_pickle=False) as z:
                     if str(z["tag"]) == tag:
@@ -260,6 +275,8 @@ class FrameReprCache:
             entries = self._load(video_id, tag)
             entries.update(new)
             self._mem_store(video_id, tag, entries)
+            if not self.persist:
+                return
             try:
                 # atomic replace: a crash mid-write must not truncate
                 # the only copy of every cached repr for the video.
@@ -278,4 +295,5 @@ class FrameReprCache:
             hit = self._mem.pop(video_id, None)
             if hit is not None:
                 self._mem_bytes -= self._nbytes(hit[1])
-            self._path(video_id).unlink(missing_ok=True)
+            if self.persist:
+                self._path(video_id).unlink(missing_ok=True)

@@ -71,3 +71,25 @@ def window_topk(frame_emb: jax.Array, valid: jax.Array, query_emb: jax.Array,
     w_scores = jnp.where(w_valid, w_scores, -jnp.inf)
     k = min(k, w_scores.shape[0])
     return jax.lax.top_k(w_scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def window_topk_multi(frame_emb: jax.Array, valid: jax.Array,
+                      query_emb: jax.Array, middle_idx: jax.Array, k: int
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Multi-query phase-1 core: one ``[N, D] × [D, Q]`` matmul, window
+    gather, per-query top-k — the whole multi-query scan is one XLA
+    program (``lax.top_k`` batches over the leading query axis), so no
+    host matmul sits on the serving path at scale.
+
+    query_emb: [Q, D] unit-norm text embeddings
+    returns:   ([Q, k] scores, [Q, k] window indices)
+    """
+    scores = jnp.dot(frame_emb, query_emb.T,
+                     preferred_element_type=jnp.float32)      # [N, Q]
+    scores = jnp.where(valid[:, None], scores, -jnp.inf)
+    w_valid = middle_idx >= 0
+    w_scores = scores[jnp.maximum(middle_idx, 0)]             # [W, Q]
+    w_scores = jnp.where(w_valid[:, None], w_scores, -jnp.inf)
+    k = min(k, w_scores.shape[0])
+    return jax.lax.top_k(w_scores.T, k)

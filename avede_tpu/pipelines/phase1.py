@@ -23,7 +23,7 @@ import numpy as np
 from ..io.embedding_cache import EmbeddingCache
 from ..io.video_reader import VideoReader
 from ..ops.dedup import FrameDeduper
-from ..ops.similarity import window_topk
+from ..ops.similarity import window_topk, window_topk_multi
 from ..ops.windows import window_middle_indices, window_timestamps
 from ..parallel.embed import ClipEngine, get_engine
 from ..utils.config import settings
@@ -162,16 +162,22 @@ class Phase1Scan:
         if len(mids) == 0:
             return {q: [] for q in queries}
         q_emb = self.engine.embed_texts(queries)          # [Q, D]
-        scores = emb[mids] @ q_emb.T                      # [W, Q]
+        with trace("phase1.score_topk"):
+            k = min(top_k, len(mids))
+            vals, idx = window_topk_multi(
+                jnp.asarray(emb), jnp.ones((len(emb),), bool),
+                jnp.asarray(q_emb), jnp.asarray(mids.astype(np.int32)),
+                k=k)
+            vals, idx = np.asarray(vals), np.asarray(idx)
         out: Dict[str, List[Dict]] = {}
         for qi, query in enumerate(queries):
-            order = np.argsort(scores[:, qi])[::-1][:top_k]
             out[query] = [{
                 "timestamp": float(wts[int(i)]),
-                "confidence": float(scores[i, qi]),
+                "confidence": float(v),
                 "phase": self.phase_name,
                 "window_index": int(i),
-            } for i in order if scores[i, qi] >= threshold]
+            } for v, i in zip(vals[qi], idx[qi])
+                if np.isfinite(v) and v >= threshold]
         return out
 
     @staticmethod

@@ -63,11 +63,14 @@ class Phase2Rerank:
                 if self._repr_cache is None:
                     from ..io.embedding_cache import FrameReprCache
 
+                    # mirror phase1's cache gating: caching disabled →
+                    # memory-only tier, nothing persisted to disk
                     emb_cache = self.phase1.cache
                     self._repr_cache = FrameReprCache(
                         cap.repr_kind,
                         cache_dir=str(emb_cache.dir) if emb_cache
-                        else None)
+                        else None,
+                        persist=emb_cache is not None)
         tag = cap.repr_tag
         hit = self._repr_cache.get_many(video_id, tag, timestamps)
         keyf = self._repr_cache.key

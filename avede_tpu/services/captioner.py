@@ -33,15 +33,24 @@ logger = get_logger(__name__)
 
 
 def _params_identity(params) -> str:
-    """Stable identity for explicitly-passed params — md5 of one leaf,
-    the ClipEngine._tag convention: different weights must never share
-    repr-cache entries."""
+    """Stable identity for explicitly-passed params: different weights
+    must never share repr-cache entries. Digests every leaf's shape
+    plus a byte sample from each (head + tail), so checkpoints that
+    share one frozen leaf (e.g. an embedding table) but differ in
+    fine-tuned later layers still get distinct tags — hashing only the
+    first leaf could serve stale captions across such checkpoints."""
     import hashlib
 
     import jax
 
-    leaf = np.asarray(jax.tree_util.tree_leaves(params)[0])
-    return "explicit:" + hashlib.md5(leaf.tobytes()).hexdigest()[:8]
+    h = hashlib.md5()
+    for leaf in jax.tree_util.tree_leaves(params):
+        a = np.ascontiguousarray(np.asarray(leaf))
+        h.update(str(a.shape).encode())
+        b = a.tobytes()
+        h.update(b[:1024])
+        h.update(b[-1024:])
+    return "explicit:" + h.hexdigest()[:8]
 
 
 class CaptionService:

@@ -111,10 +111,10 @@ class DeviceLibraryIndex:
 
     Rows for one video form a contiguous bucket-padded span; padding
     rows (and removed videos) are masked invalid and score ``-inf``.
-    A host shadow backs capacity growth: float16 for reduced-precision
-    device tables (half the memory, strictly more precise than the
-    bf16 device copy), float32 when the index itself is float32 so
-    growth never degrades exact-f32 scores."""
+    A host shadow backs capacity growth: float16 for the bf16 device
+    tier (half the memory, strictly more precise than the bf16 device
+    copy), float32 for the float32 and int8 tiers so growth never
+    compounds a second rounding on top of the tier's own."""
 
     def __init__(self, dim: int, dtype: Optional[str] = None,
                  mesh=None) -> None:
@@ -126,8 +126,13 @@ class DeviceLibraryIndex:
         self.dim = dim
         self.dtype = dtype or settings.LIBRARY_INDEX_DTYPE
         self._int8 = self.dtype == "int8"
-        self._shadow_dtype = (np.float32 if self.dtype == "float32"
-                              else np.float16)
+        # int8 keeps a float32 host shadow: growth re-quantizes from the
+        # shadow, and quantizing from f16-rounded values would compound
+        # a second rounding the ≤1e-3 drift budget doesn't account for.
+        # Only the bf16 device tier (whose own rounding dominates any
+        # f16 shadow error) uses the half-memory f16 shadow.
+        self._shadow_dtype = (np.float16 if self.dtype == "bfloat16"
+                              else np.float32)
         self.mesh = mesh
         self._scales = None         # device [cap] f32 (int8 mode only)
         self._lock = threading.Lock()
@@ -173,6 +178,13 @@ class DeviceLibraryIndex:
         if emb.ndim != 2 or emb.shape[1] != self.dim:
             raise ValueError(f"expected [N, {self.dim}], got {emb.shape}")
         ts = np.asarray(timestamps, np.float32)
+        if len(ts) != len(emb):
+            # a short ts array would silently shift/zero hit timestamps
+            # after run-collapse (``_locate`` would fall back to 0.0) —
+            # refuse up front instead of corrupting a user-visible field
+            raise ValueError(
+                f"timestamps length {len(ts)} != embeddings length "
+                f"{len(emb)} for video {video_id!r}")
         frames = np.arange(len(emb), dtype=np.int32)
         if settings.LIBRARY_INDEX_DEDUP and len(emb) > 1:
             # lossless run collapse: the scan's duplicate-frame gating
@@ -187,8 +199,7 @@ class DeviceLibraryIndex:
             if not keep.all():
                 emb = emb[keep]
                 frames = frames[keep]
-                m = min(len(ts), len(keep))
-                ts = ts[:m][keep[:m]]
+                ts = ts[keep]
         with self._lock:
             n = len(emb)
             padded = _padded(n)
@@ -288,9 +299,11 @@ class DeviceLibraryIndex:
                 ) -> Tuple[str, float, int]:
         j = bisect.bisect_right(starts, row) - 1
         vid, start, n, ts, frames = spans[j]
+        # ``add`` enforces len(ts) == len(frames) == n, and only the
+        # first n rows of a span are valid (padding is masked), so a
+        # returned row always indexes in range
         off = row - start
-        frame = int(frames[off]) if off < len(frames) else off
-        return vid, float(ts[off]) if off < len(ts) else 0.0, frame
+        return vid, float(ts[off]), int(frames[off])
 
     # ------------------------------------------------------------------
     def _grow_locked(self, extra_rows: int) -> None:

@@ -39,6 +39,12 @@ class LibrarySearch:
         self._index = DeviceLibraryIndex(
             engine.cfg.projection_dim,
             mesh=getattr(engine, "mesh", None))
+        # serializes index population: without it two concurrent first
+        # searches both embed every uncached video (correct — add
+        # replaces atomically — but the heavy work runs twice)
+        import threading
+
+        self._populate_lock = threading.Lock()
 
     def _device_index(self):
         return self._index
@@ -131,17 +137,18 @@ class LibrarySearch:
         index = self._device_index()
         n_videos = 0
         listed = self.list_videos()
-        for vid in set(index.video_ids()) - set(listed):
-            index.remove(vid)   # deleted from VIDEO_DIR → evict
-        for vid in listed:
-            try:
-                if not index.has(vid):
-                    path = self._resolve(vid)
-                    emb, ts = self.phase1.frame_embeddings(path, vid)
-                    index.add(vid, emb, ts)
-                n_videos += 1
-            except Exception as exc:  # noqa: BLE001 — skip bad videos
-                logger.warning("library: skipping %s (%s)", vid, exc)
+        with self._populate_lock:
+            for vid in set(index.video_ids()) - set(listed):
+                index.remove(vid)   # deleted from VIDEO_DIR → evict
+            for vid in listed:
+                try:
+                    if not index.has(vid):
+                        path = self._resolve(vid)
+                        emb, ts = self.phase1.frame_embeddings(path, vid)
+                        index.add(vid, emb, ts)
+                    n_videos += 1
+                except Exception as exc:  # noqa: BLE001 — skip bad
+                    logger.warning("library: skipping %s (%s)", vid, exc)
         if index.n_rows == 0:
             return {"results": [], "total_found": 0,
                     "metadata": {"videos_searched": 0,

@@ -276,3 +276,67 @@ class TestFrameReprCache:
         # the tagB file contains only tagB entries
         c2 = FrameReprCache("blipcap", cache_dir=str(tmp_path))
         assert set(c2.get_many("v", "tagB", [1.0, 2.0])) == {c2.key(2.0)}
+
+    def test_memory_only_mode_writes_nothing(self, tmp_path):
+        """persist=False (embedding cache disabled) keeps reprs in
+        memory only — disabling caching must not keep writing rerank
+        reprs to disk."""
+        from avede_tpu.io.embedding_cache import FrameReprCache
+
+        c = FrameReprCache("blipcap", cache_dir=str(tmp_path),
+                           persist=False)
+        c.put_many("v", "t", {c.key(1.0): np.str_("cap")})
+        assert list(tmp_path.iterdir()) == []          # nothing on disk
+        assert c.get_many("v", "t", [1.0])             # mem tier serves
+        c2 = FrameReprCache("blipcap", cache_dir=str(tmp_path),
+                            persist=False)
+        assert c2.get_many("v", "t", [1.0]) == {}      # not shared
+        c.invalidate("v")
+        assert c.get_many("v", "t", [1.0]) == {}
+
+    def test_zero_mem_budget_disables_tier(self, tmp_path, monkeypatch):
+        """EMBEDDING_MEM_CACHE_MB=0 disables the memory tier entirely
+        (the EmbeddingCache convention) — it used to keep one video
+        resident regardless."""
+        from avede_tpu.io.embedding_cache import FrameReprCache
+        from avede_tpu.utils.config import settings
+
+        monkeypatch.setattr(settings, "EMBEDDING_MEM_CACHE_MB", 0)
+        c = FrameReprCache("blipcap", cache_dir=str(tmp_path))
+        c.put_many("v", "t", {c.key(1.0): np.str_("cap")})
+        assert c._mem == {} and c._mem_bytes == 0
+        # disk tier still round-trips
+        assert str(c.get_many("v", "t", [1.0])[c.key(1.0)]) == "cap"
+        assert c._mem == {}
+
+    def test_phase2_repr_cache_gating(self, monkeypatch):
+        """Phase2 must not build a disk-backed repr cache when the
+        embedding cache is disabled (phase1.cache is None)."""
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+        from avede_tpu.pipelines.phase2 import Phase2Rerank
+        from avede_tpu.utils.config import settings
+
+        monkeypatch.setattr(settings, "EMBEDDING_CACHE_ENABLED", False)
+        scan = Phase1Scan(object())               # engine never touched
+        assert scan.cache is None
+        p2 = Phase2Rerank(scan)
+
+        class FakeCap:
+            repr_kind = "blipcap"
+            repr_tag = "t"
+
+            def frame_repr(self, frames):
+                return [np.str_("x")] * len(frames)
+
+        p2._captioner = FakeCap()
+
+        class FakeReader:
+            def read_frames_at(self, path, ts, return_ok=False):
+                frames = np.zeros((len(ts), 8, 8, 3), np.uint8)
+                return (frames, [True] * len(ts)) if return_ok \
+                    else frames
+
+        scan.reader = FakeReader()
+        p2._reprs("fake.mp4", "vid", [1.0, 2.0])
+        assert p2._repr_cache is not None
+        assert p2._repr_cache.persist is False

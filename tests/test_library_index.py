@@ -227,6 +227,89 @@ class TestDeviceLibraryIndex:
         idx.add("empty", np.zeros((0, 32), np.float32), [])
         assert idx.n_videos == 0
 
+    def test_mismatched_timestamps_raise(self):
+        """A ts array shorter (or longer) than the embedding table must
+        raise at add time — a silent mismatch used to surface as
+        timestamp 0.0 on hits after run-collapse."""
+        rng = np.random.default_rng(21)
+        idx = self._index()
+        emb = _unit(rng, 8, 32)
+        with pytest.raises(ValueError, match="timestamps length"):
+            idx.add("v", emb, np.arange(5.0))
+        with pytest.raises(ValueError, match="timestamps length"):
+            idx.add("v", emb, np.arange(11.0))
+        assert idx.n_videos == 0
+
+    def test_dedup_short_ts_raises(self, monkeypatch):
+        """Run-collapse must never be reached with a short ts array
+        (the old code truncated and zero-filled tail timestamps)."""
+        from avede_tpu.utils.config import settings
+
+        monkeypatch.setattr(settings, "LIBRARY_INDEX_DEDUP", True)
+        rng = np.random.default_rng(22)
+        idx = self._index()
+        uniq = _unit(rng, 2, 32)
+        emb = np.concatenate([np.tile(uniq[0], (3, 1)),
+                              np.tile(uniq[1], (3, 1))])
+        with pytest.raises(ValueError, match="timestamps length"):
+            idx.add("v", emb, np.arange(4.0))
+
+    def test_int8_growth_requantization_drift(self):
+        """Growth + compaction re-quantizes from the host shadow; the
+        shadow is f32 in int8 mode, so the end-to-end cosine drift vs
+        exact f32 scores must stay within the tier's one-rounding
+        budget even after a forced growth+compaction cycle."""
+        from avede_tpu.services import library_index as li
+
+        rng = np.random.default_rng(23)
+        i8 = self._index(dim=64, dtype="int8")
+        f32 = self._index(dim=64, dtype="float32")
+        tables = {}
+        for i, n in enumerate((200, 300)):
+            tables[f"v{i}"] = _unit(rng, n, 64)
+        # force growth twice: fill, remove (hole), then oversize add
+        for vid, emb in tables.items():
+            i8.add(vid, emb, np.arange(float(len(emb))))
+            f32.add(vid, emb, np.arange(float(len(emb))))
+        i8.remove("v0"); f32.remove("v0")
+        big = _unit(rng, li._MIN_CAPACITY, 64)
+        tables["big"] = big
+        i8.add("big", big, np.arange(float(li._MIN_CAPACITY)))
+        f32.add("big", big, np.arange(float(li._MIN_CAPACITY)))
+        del tables["v0"]
+
+        q = _unit(rng, 1, 64)[0]
+        a = i8.search(q, 16)
+        b = f32.search(q, 16)
+        # per-row int8 over unit-norm rows: one rounding ≈ 1/254 per
+        # component worst case; score drift stays well under 1e-2 and,
+        # crucially, does NOT double after growth re-quantization
+        np.testing.assert_allclose([r["confidence"] for r in a],
+                                   [r["confidence"] for r in b],
+                                   atol=6e-3)
+
+    def test_bf16_growth_drift_within_budget(self):
+        """The bf16 tier's f16 shadow must keep post-growth scores
+        within the tier's own ≤1e-3 budget (f16 is strictly finer than
+        bf16, so growth adds no visible drift)."""
+        from avede_tpu.services import library_index as li
+
+        rng = np.random.default_rng(24)
+        bf = self._index(dim=64, dtype="bfloat16")
+        f32 = self._index(dim=64, dtype="float32")
+        first = _unit(rng, 400, 64)
+        for idx in (bf, f32):
+            idx.add("a", first, np.arange(400.0))
+        big = _unit(rng, li._MIN_CAPACITY, 64)
+        for idx in (bf, f32):
+            idx.add("b", big, np.arange(float(li._MIN_CAPACITY)))
+        q = _unit(rng, 1, 64)[0]
+        a = bf.search(q, 16)
+        b = f32.search(q, 16)
+        np.testing.assert_allclose([r["confidence"] for r in a],
+                                   [r["confidence"] for r in b],
+                                   atol=5e-3)
+
 
 class TestIndexedLibrarySearch:
     def test_matches_per_table_path(self, tmp_data_dirs, monkeypatch):
@@ -313,8 +396,11 @@ class TestIndexedLibrarySearch:
 
         rng = np.random.default_rng(3)
 
+        import threading
+
         search = LibrarySearch.__new__(LibrarySearch)
         search._index = DeviceLibraryIndex(16, dtype="float32")
+        search._populate_lock = threading.Lock()
         q = _unit(rng, 1, 16)[0]
         # "hot" video: 20 rows nearly equal to q; "cold": orthogonal-ish
         hot = np.tile(q, (20, 1)) + 0.01 * rng.normal(size=(20, 16))
