@@ -151,6 +151,13 @@ class CLIPBPETokenizer:
         return ids
 
 
+@lru_cache(maxsize=4)
+def _load_bpe(bpe_path: str) -> CLIPBPETokenizer:
+    """Memoized merges load — every engine builds a Tokenizer, and the
+    merges parse + vocab build is the expensive part."""
+    return CLIPBPETokenizer(bpe_path)
+
+
 class HashTokenizer:
     """Deterministic fallback: word → stable hashed id.
 
@@ -180,7 +187,10 @@ class WordPieceTokenizer:
 
     def __init__(self, vocab_path: str) -> None:
         self.vocab_path = str(vocab_path)  # cache-tag identity
-        words = Path(vocab_path).read_text("utf-8").splitlines()
+        raw = Path(vocab_path)
+        data = (gzip.open(raw, "rt", encoding="utf-8").read()
+                if raw.suffix == ".gz" else raw.read_text("utf-8"))
+        words = data.splitlines()
         self.vocab = {w: i for i, w in enumerate(words)}
         self.inv = words
         self.unk = self.vocab.get("[UNK]", 100)
@@ -238,9 +248,23 @@ class Tokenizer:
                  vocab_size: int = 49408,
                  context_len: int = CONTEXT_LEN) -> None:
         bpe_path = bpe_path or settings.TOKENIZER_VOCAB
+        self.impl: object
         if bpe_path and Path(bpe_path).exists():
-            self.impl: object = CLIPBPETokenizer(bpe_path)
-            logger.info("CLIP BPE tokenizer loaded from %s", bpe_path)
+            impl = _load_bpe(bpe_path)
+            if impl.vocab_size <= vocab_size:
+                self.impl = impl
+                logger.info("CLIP BPE tokenizer loaded from %s "
+                            "(vocab %d)", bpe_path, impl.vocab_size)
+            else:
+                # tiny test configs (vocab_size 256) can't index the
+                # full BPE id range — their embedding table is smaller
+                # than the tokenizer's vocab, so ids would silently
+                # clamp in the gather
+                self.impl = HashTokenizer(vocab_size)
+                logger.debug(
+                    "model vocab %d < BPE vocab %d (tiny/test "
+                    "geometry) — ids via hash tokenizer",
+                    vocab_size, impl.vocab_size)
         else:
             self.impl = HashTokenizer(vocab_size)
             logger.info("Using deterministic hash tokenizer (no BPE merges "

@@ -53,6 +53,35 @@ def _params_identity(params) -> str:
     return "explicit:" + h.hexdigest()[:8]
 
 
+def _wordpiece_for(vocab_path, model_vocab_size: int,
+                   mode: str = "decode"):
+    """Bundled (or explicit) WordPiece vocab, ONLY when its id space
+    fits the model. ``decode`` requires the exact width (a 30524-entry
+    vocab against a tiny 100-id test decoder would map every generated
+    id to [PAD]/[unused] and silently blank all captions); ``encode``
+    only requires every reachable id — real pieces, not bracketed
+    specials that lowercased queries can never hit — to index inside
+    the model's embedding table (the Q-Former's is 30523 wide)."""
+    path = vocab_path or settings.BLIP_VOCAB
+    if not (path and Path(path).exists()):
+        return None
+    tok = WordPieceTokenizer(path)
+    if mode == "decode":
+        ok = len(tok.inv) == model_vocab_size
+    else:
+        max_reachable = max(
+            (i for w, i in tok.vocab.items()
+             if not (w.startswith("[") and w.endswith("]"))),
+            default=0)
+        ok = max(max_reachable, tok.unk) < model_vocab_size
+    if not ok:
+        logger.info("WordPiece vocab %d doesn't fit model vocab %d "
+                    "(%s) — using hash fallback", len(tok.inv),
+                    model_vocab_size, mode)
+        return None
+    return tok
+
+
 class CaptionService:
     def __init__(self, engine: ClipEngine,
                  cfg: Optional[BlipConfig] = None,
@@ -79,10 +108,8 @@ class CaptionService:
             self.model, self.params = init_blip(self.cfg, seed=0)
             self._param_src = "rand0"
             logger.info("BLIP randomly initialised (no checkpoint)")
-        if vocab_path and Path(vocab_path).exists():
-            self.decoder = WordPieceTokenizer(vocab_path)
-        else:
-            self.decoder = HashCaptionDecoder()
+        self.decoder = (_wordpiece_for(vocab_path, self.cfg.vocab_size)
+                        or HashCaptionDecoder())
         self._gen_fns = {}
 
     def _gen_fn(self, n: int):
@@ -200,12 +227,10 @@ class Blip2RerankService:
             self.model, self.params = init_blip2(self.cfg, seed=0)
             self._param_src = "rand0"
             logger.info("BLIP-2 Q-Former randomly initialised")
-        vocab = settings.TOKENIZER_VOCAB
-        self.tokenizer = (WordPieceTokenizer(vocab)
-                          if tokenizer is None and vocab
-                          and Path(vocab).exists()
-                          else tokenizer or HashTokenizer(
-                              self.cfg.vocab_size))
+        self.tokenizer = (tokenizer
+                          or _wordpiece_for(None, self.cfg.vocab_size,
+                                            mode="encode")
+                          or HashTokenizer(self.cfg.vocab_size))
         self._fns = {}
 
     def rerank_scores(self, frames: np.ndarray, query: str

@@ -20,6 +20,12 @@ from typing import Any, Dict, List, Optional
 from pydantic import BaseModel, Field
 
 
+def _bundled_asset(name: str) -> Optional[str]:
+    """Absolute path of a packaged asset, or None if not shipped."""
+    p = Path(__file__).resolve().parent.parent / "assets" / name
+    return str(p) if p.exists() else None
+
+
 class Settings(BaseModel):
     """All framework knobs. Every field can be overridden by an environment
     variable of the same (upper-case) name; lists/dicts parse as JSON."""
@@ -60,7 +66,16 @@ class Settings(BaseModel):
     OWLVIT_MODEL: str = "owlvit-base-patch32"
     OWLVIT_WEIGHTS: Optional[str] = None
     FEATURE_EXTRACTOR_WEIGHTS: Optional[str] = None
-    TOKENIZER_VOCAB: Optional[str] = None   # path to CLIP BPE merges file
+    # bundled tokenizer data (tools/build_tokenizer_assets.py builds
+    # both from local English text) — real BPE/WordPiece by default,
+    # hash tokenizer only as explicit fallback (set to "" to force it)
+    TOKENIZER_VOCAB: Optional[str] = Field(
+        default_factory=lambda: _bundled_asset("clip_bpe_merges.txt.gz")
+    )   # CLIP BPE merges file (bpe_simple_vocab_16e6 format)
+    BLIP_VOCAB: Optional[str] = Field(
+        default_factory=lambda: _bundled_asset(
+            "blip_wordpiece_vocab.txt.gz")
+    )   # BERT-layout WordPiece vocab for the BLIP text side
     FACE_MODEL_PATH: Optional[str] = None   # cv2 FaceDetectorYN onnx (optional)
     APPEARANCE_WEIGHTS: Optional[str] = None  # trained re-ID encoder .npz
 

@@ -149,3 +149,90 @@ class TestWordPieceParity:
         ids = [v["[CLS]"], v["the"], v["cat"], v["##s"], v["[SEP]"],
                v["[PAD]"]]
         assert ours.decode(ids) == "the cats"
+
+
+class TestBundledAssets:
+    """The committed tokenizer data (avede_tpu/assets/, built by
+    tools/build_tokenizer_assets.py) must load through the real
+    implementations, match HF given the same files, and be the product
+    default (no more hash-tokenizer fallback at full geometry)."""
+
+    def test_bundled_bpe_is_default_and_matches_hf(self, tmp_path):
+        import gzip
+
+        from avede_tpu.models.tokenizer import CLIPBPETokenizer, Tokenizer
+        from avede_tpu.utils.config import settings
+
+        assert settings.TOKENIZER_VOCAB, "bundled merges not configured"
+        t = Tokenizer()  # full-size default (vocab 49408)
+        assert isinstance(t.impl, CLIPBPETokenizer), \
+            "product default fell back to hash tokenizer"
+
+        # HF parity on the SHIPPED merges: same ids for English text
+        merges_txt = gzip.open(settings.TOKENIZER_VOCAB, "rt",
+                               encoding="utf-8").read()
+        (tmp_path / "merges.txt").write_text(merges_txt, "utf-8")
+        (tmp_path / "vocab.json").write_text(
+            json.dumps(t.impl.encoder), "utf-8")
+        hf = transformers.CLIPTokenizer(str(tmp_path / "vocab.json"),
+                                        str(tmp_path / "merges.txt"))
+        for text in ["a person walking a dog on the beach",
+                     "red car driving fast, 42 mph!",
+                     "the quick brown fox jumps over the lazy dog"]:
+            ours = t.impl.encode(text)
+            ref = hf(text, add_special_tokens=False)["input_ids"]
+            assert ours == ref, f"{text!r}: ours={ours} hf={ref}"
+
+    def test_bundled_bpe_framing_contract(self):
+        from avede_tpu.models.tokenizer import Tokenizer
+
+        t = Tokenizer()
+        ids = t(["a person on the beach"])
+        row = ids[0][ids[0] > 0]
+        assert row[0] == t.sot and row[-1] == t.eot
+        # EOT is the max id → HF-style argmax(ids) pooling finds it
+        assert t.eot == int(ids[0].max())
+
+    def test_bundled_wordpiece_matches_hf_and_blip_layout(self, tmp_path):
+        import gzip
+
+        from avede_tpu.models.blip import BlipConfig
+        from avede_tpu.models.tokenizer import WordPieceTokenizer
+        from avede_tpu.utils.config import settings
+
+        assert settings.BLIP_VOCAB, "bundled vocab not configured"
+        tok = WordPieceTokenizer(settings.BLIP_VOCAB)
+        cfg = BlipConfig()
+        assert len(tok.inv) == cfg.vocab_size
+        assert tok.vocab["[PAD]"] == cfg.pad_token_id == 0
+        assert tok.vocab["[UNK]"] == 100
+        assert tok.vocab["[CLS]"] == 101
+        assert tok.vocab["[SEP]"] == cfg.eos_token_id == 102
+        assert tok.vocab["[DEC]"] == cfg.bos_token_id == 30522
+
+        vocab_txt = gzip.open(settings.BLIP_VOCAB, "rt",
+                              encoding="utf-8").read()
+        (tmp_path / "vocab.txt").write_text(vocab_txt, "utf-8")
+        hf = transformers.BertTokenizer(str(tmp_path / "vocab.txt"))
+        for text in ["a person walking a dog on the beach",
+                     "unknownxyzq word then the cat"]:
+            ours = tok.encode(text)
+            ref = hf(text, add_special_tokens=False)["input_ids"]
+            assert ours == ref, f"{text!r}: ours={ours} hf={ref}"
+        assert "person" in tok.decode(tok.encode("a person walking"))
+
+    def test_full_size_caption_service_uses_wordpiece(self):
+        from avede_tpu.models.blip import BlipConfig
+        from avede_tpu.models.tokenizer import WordPieceTokenizer
+        from avede_tpu.services.captioner import _wordpiece_for
+        from avede_tpu.models.qformer import QFormerConfig
+
+        assert isinstance(
+            _wordpiece_for(None, BlipConfig().vocab_size, "decode"),
+            WordPieceTokenizer)
+        assert isinstance(
+            _wordpiece_for(None, QFormerConfig().vocab_size, "encode"),
+            WordPieceTokenizer)
+        # tiny test geometry must keep the hash fallback (ids would
+        # otherwise clamp/blank)
+        assert _wordpiece_for(None, 100, "decode") is None
