@@ -174,15 +174,30 @@ class VideoReader:
             workers = min(4, _os.cpu_count() or 1)
         workers = max(1, min(workers, len(idxs) // max(chunk // 4, 1) or 1))
 
-        def decode_span(span: List[int], out_q, convert=self._convert):
+        def decode_span(span: List[int], out_q):
             """Decode one contiguous span of sampled indices into
-            chunk-sized (frames, timestamps) tuples on ``out_q``."""
+            chunk-sized (frames, timestamps) tuples on ``out_q``.
+
+            Frames convert DIRECTLY into a preallocated chunk buffer
+            (``cv2``'s ``dst=`` writes in place): the list-of-frames +
+            ``np.stack`` formulation copied every chunk twice and paid
+            first-touch page faults on a fresh ~100 MB array per chunk
+            — measured ~2 s of a 600-frame cold scan on this host."""
             cap = cv2.VideoCapture(str(path))
             if not cap.isOpened():
                 out_q.put(VideoDecodeError(f"cannot open video: {path}"))
                 return
-            buf: List[np.ndarray] = []
+            cap_chunk = min(chunk, len(span))
+            buf = np.empty((cap_chunk, th, tw, 3), np.uint8)
+            fill = 0
             buf_ts: List[float] = []
+
+            def flush():
+                nonlocal buf, fill, buf_ts
+                out_q.put((buf[:fill], list(buf_ts)))
+                buf = np.empty((cap_chunk, th, tw, 3), np.uint8)
+                fill, buf_ts = 0, []
+
             try:
                 if dense:
                     pos = span[0]
@@ -195,11 +210,11 @@ class VideoReader:
                             ok, frame = cap.read()
                             if not ok:
                                 break
-                            buf.append(convert(frame, tw, th))
+                            self._convert_into(frame, buf[fill])
                             buf_ts.append(float(pos) / meta.fps)
-                            if len(buf) >= chunk:
-                                out_q.put((np.stack(buf), list(buf_ts)))
-                                buf, buf_ts = [], []
+                            fill += 1
+                            if fill >= cap_chunk:
+                                flush()
                         elif not cap.grab():
                             # grab() advances the decoder without the
                             # BGR retrieve/copy — skipped frames cost
@@ -212,13 +227,13 @@ class VideoReader:
                         ok, frame = cap.read()
                         if not ok:
                             break
-                        buf.append(convert(frame, tw, th))
+                        self._convert_into(frame, buf[fill])
                         buf_ts.append(float(idx) / meta.fps)
-                        if len(buf) >= chunk:
-                            out_q.put((np.stack(buf), list(buf_ts)))
-                            buf, buf_ts = [], []
-                if buf:
-                    out_q.put((np.stack(buf), list(buf_ts)))
+                        fill += 1
+                        if fill >= cap_chunk:
+                            flush()
+                if fill:
+                    flush()
             except Exception as exc:  # noqa: BLE001 — surface on consumer
                 out_q.put(exc)
             finally:
@@ -258,6 +273,18 @@ class VideoReader:
             frame_bgr = cv2.resize(frame_bgr, (tw, th),
                                    interpolation=cv2.INTER_AREA)
         return cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+
+    @staticmethod
+    def _convert_into(frame_bgr: np.ndarray, out: np.ndarray) -> None:
+        """Resize + BGR→RGB straight into ``out`` [th, tw, 3] — no
+        intermediate allocation on the per-frame hot path."""
+        import cv2
+
+        th, tw = out.shape[:2]
+        if frame_bgr.shape[1] != tw or frame_bgr.shape[0] != th:
+            frame_bgr = cv2.resize(frame_bgr, (tw, th),
+                                   interpolation=cv2.INTER_AREA)
+        cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB, dst=out)
 
     def read_frames_at(self, path: str, timestamps: List[float],
                        return_ok: bool = False):

@@ -21,15 +21,20 @@ import jax.numpy as jnp
 from .boxes import pairwise_iou
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "presorted"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_out", "presorted",
+                                    "return_indices"))
 def nms_padded(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
-               max_out: int, presorted: bool = False
-               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+               max_out: int, presorted: bool = False,
+               return_indices: bool = False):
     """Greedy class-agnostic NMS.
 
     boxes  [N, 4] xyxy; scores [N] (-inf marks padding/invalid)
     → (boxes [max_out, 4], scores [max_out], valid [max_out] bool),
-    score-sorted.
+    score-sorted. With ``return_indices`` a fourth output gives each
+    kept slot's index into the ORIGINAL input order (0 on invalid
+    slots) so callers can gather per-box auxiliary data (e.g. the
+    OWL-ViT per-patch best-query index) through the suppression.
 
     ``presorted=True`` skips the input sort — pass it when scores are
     already descending (e.g. straight out of ``lax.top_k``): a 400-wide
@@ -40,6 +45,7 @@ def nms_padded(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
     if presorted:
         boxes_s = boxes
         scores_s = scores
+        order = jnp.arange(n)
     else:
         order = jnp.argsort(-scores)
         boxes_s = boxes[order]
@@ -79,11 +85,15 @@ def nms_padded(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
     # keep their relative (descending) order and dead slots sink as -inf
     out_scores, top = jax.lax.top_k(kept_scores, min(max_out, n))
     out_boxes = boxes_s[top]
+    out_idx = order[top]
     if max_out > n:  # keep the padded output contract
         out_boxes = jnp.pad(out_boxes, ((0, max_out - n), (0, 0)))
         out_scores = jnp.pad(out_scores, (0, max_out - n),
                              constant_values=-jnp.inf)
+        out_idx = jnp.pad(out_idx, (0, max_out - n))
     valid = out_scores > -jnp.inf
+    if return_indices:
+        return out_boxes, out_scores, valid, jnp.where(valid, out_idx, 0)
     return out_boxes, out_scores, valid
 
 

@@ -95,6 +95,100 @@ def imagenet_preprocess(frames: jax.Array, size: int = 224) -> jax.Array:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+# ---------------------------------------------------------------------------
+# Compact transfer codec (host pack → device unpack)
+#
+# On a bandwidth-limited host→device link the cold scan is TRANSFER
+# bound: 600 frames of 512×288 RGB = 265 MB (measured 7.3 s through
+# this rig's ~35 MB/s tunneled chip — the whole round-2 cold-path
+# wall). Source video is 4:2:0 anyway, so re-subsampling chroma loses
+# almost nothing: the host packs frames at the model's input geometry
+# as full-range BT.601 I420 (size²·1.5 bytes = 75 KB/frame at 224, a
+# 5.9× byte reduction vs shipping 512×288 RGB), and the device unpacks
+# YUV→RGB fused into the normalization. Full range (not cv2's
+# limited-range studio swing) keeps all 256 luma levels.
+# ---------------------------------------------------------------------------
+
+_YUV_W = np.array([[0.299, 0.587, 0.114],
+                   [-0.168736, -0.331264, 0.5],
+                   [0.5, -0.418688, -0.081312]], np.float32)
+
+
+def pack_frames_i420(frames: np.ndarray, size: int) -> np.ndarray:
+    """uint8 RGB [N, H, W, 3] → packed I420 uint8 [N, size*3//2, size].
+
+    Host side of the compact transfer: central square crop + resize to
+    the model geometry (cv2 INTER_AREA — the antialiased downscale,
+    closest to the device path's antialiased bicubic on
+    high-frequency content: measured min-cosine 0.9974 vs 0.9847 for
+    INTER_CUBIC on worst-case decoded noise), then full-range BT.601 with 2×2 mean-pooled chroma.
+    Vectorized over the whole chunk; runs on the decode/prefetch
+    threads so it overlaps device compute."""
+    n = frames.shape[0]
+    small = pack_frames_rgb(frames, size)
+    f = small.astype(np.float32)
+    y = f @ _YUV_W[0]
+    u = f @ _YUV_W[1] + 128.0
+    v = f @ _YUV_W[2] + 128.0
+    # 2×2 chroma mean-pool (what the source 4:2:0 video already did)
+    h2 = size // 2
+    u = u.reshape(n, h2, 2, h2, 2).mean(axis=(2, 4))
+    v = v.reshape(n, h2, 2, h2, 2).mean(axis=(2, 4))
+    out = np.empty((n, size * 3 // 2, size), np.uint8)
+    np.clip(y + 0.5, 0, 255, out=y)
+    out[:, :size] = y.astype(np.uint8)
+    out[:, size:size + size // 4] = np.clip(
+        u + 0.5, 0, 255).astype(np.uint8).reshape(n, size // 4, size)
+    out[:, size + size // 4:] = np.clip(
+        v + 0.5, 0, 255).astype(np.uint8).reshape(n, size // 4, size)
+    return out
+
+
+def pack_frames_rgb(frames: np.ndarray, size: int) -> np.ndarray:
+    """uint8 RGB [N, H, W, 3] → [N, size, size, 3]: the ``rgb``
+    compact-transfer mode — host crop+resize only (2.9× fewer bytes
+    than full frames at 512×288, no chroma subsampling)."""
+    import cv2
+
+    n, h, w = frames.shape[:3]
+    if (h, w) == (size, size):
+        return frames
+    s = min(h, w)
+    top, left = (h - s) // 2, (w - s) // 2
+    sq = frames[:, top:top + s, left:left + s]
+    small = np.empty((n, size, size, 3), np.uint8)
+    for i in range(n):
+        cv2.resize(sq[i], (size, size), dst=small[i],
+                   interpolation=cv2.INTER_AREA)
+    return small
+
+
+@functools.partial(jax.jit, static_argnames=("normalize", "dtype"))
+def clip_preprocess_i420(packed: jax.Array, normalize: bool = True,
+                         dtype: str = "float32") -> jax.Array:
+    """Packed I420 uint8 [N, S*3/2, S] → ``dtype`` [N, S, S, 3], CLIP
+    normalized — the device half of the compact transfer. Chroma
+    upsamples 2× nearest; the YUV→RGB matrix and the CLIP affine fuse
+    into one elementwise program (and onward into the patch conv)."""
+    d = jnp.dtype(dtype)
+    n, hp, s = packed.shape
+    assert hp == s * 3 // 2, (hp, s)
+    h2 = s // 2
+    y = packed[:, :s, :].astype(d)
+    u = packed[:, s:s + s // 4, :].reshape(n, h2, h2).astype(d) - 128.0
+    v = packed[:, s + s // 4:, :].reshape(n, h2, h2).astype(d) - 128.0
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    x = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0) \
+        / jnp.asarray(255.0, d)
+    if normalize:
+        x = (x - CLIP_MEAN.astype(d)) / CLIP_STD.astype(d)
+    return x
+
+
 def fold_normalization(kernel: jax.Array, bias: jax.Array,
                        mean: np.ndarray = CLIP_MEAN,
                        std: np.ndarray = CLIP_STD

@@ -24,7 +24,8 @@ import numpy as np
 from ..models.clip import CLIPConfig, CLIPModel, init_clip, vit_b32
 from ..models.convert import load_params
 from ..models.tokenizer import Tokenizer
-from ..ops.preprocess import clip_preprocess
+from ..ops.preprocess import (clip_preprocess, clip_preprocess_i420,
+                              pack_frames_i420, pack_frames_rgb)
 from ..utils.config import settings
 from ..utils.logging import get_logger
 from .mesh import MeshContext, get_mesh, pick_bucket
@@ -90,7 +91,28 @@ class ClipEngine:
 
     @property
     def model_tag(self) -> str:
-        return f"{self._tag}|{self.cfg.image_size}px"
+        # the transfer codec changes embedding values (≤2e-4 on video
+        # content, more on synthetic noise) — cached tables from one
+        # codec must not serve another
+        mode = settings.SCAN_TRANSFER
+        suffix = "" if mode == "full" else f"|{mode}"
+        return f"{self._tag}|{self.cfg.image_size}px{suffix}"
+
+    # ------------------------------------------------------------------
+    def _pack_transfer(self, part: np.ndarray) -> np.ndarray:
+        """Host half of the compact transfer codec (``SCAN_TRANSFER``):
+        shrink whole-frame batches to the model's input geometry before
+        the host→device copy. No-op for 'full' or already-packed
+        input. Runs on decode/prefetch threads, overlapping device
+        compute."""
+        mode = settings.SCAN_TRANSFER
+        if part.ndim != 4 or part.shape[-1] != 3:
+            return part          # already packed
+        if mode == "i420" and self.cfg.image_size % 4 == 0:
+            return pack_frames_i420(part, self.cfg.image_size)
+        if mode == "rgb":
+            return pack_frames_rgb(part, self.cfg.image_size)
+        return part
 
     # ------------------------------------------------------------------
     def _use_pallas(self) -> bool:
@@ -112,6 +134,8 @@ class ClipEngine:
             dtype = self.cfg.dtype
             use_pallas = self._use_pallas()
 
+            packed_i420 = len(shape) == 2   # [S*3/2, S] per frame
+
             @functools.partial(
                 jax.jit,
                 in_shardings=(self.mesh.replicated, self.mesh.data_sharded),
@@ -125,15 +149,23 @@ class ClipEngine:
                     from ..ops.preprocess import (central_square_crop,
                                                   resize_frames)
 
-                    x = central_square_crop(frames_u8).astype(jnp.float32)
-                    x = resize_frames(x, size, "bicubic")
+                    if packed_i420:
+                        x = clip_preprocess_i420(
+                            frames_u8, normalize=False) * 255.0
+                    else:
+                        x = central_square_crop(frames_u8).astype(
+                            jnp.float32)
+                        x = resize_frames(x, size, "bicubic")
                     k = params["vision"]["patch_embedding"]["kernel"]
                     tokens = fused_patch_embed(
                         x, k, jnp.zeros((k.shape[-1],), jnp.float32))
                     return model.apply(
                         {"params": params}, tokens,
                         method=model.encode_image_from_patches)
-                px = clip_preprocess(frames_u8, size=size, dtype=dtype)
+                if packed_i420:
+                    px = clip_preprocess_i420(frames_u8, dtype=dtype)
+                else:
+                    px = clip_preprocess(frames_u8, size=size, dtype=dtype)
                 return model.apply({"params": params}, px,
                                    method=model.encode_image)
 
@@ -153,7 +185,7 @@ class ClipEngine:
         chunk_cap = settings.EMBED_BATCH_PER_DEVICE * self.mesh.n_data
         outs: List[np.ndarray] = []
         for lo in range(0, n, chunk_cap):
-            part = frames[lo: lo + chunk_cap]
+            part = self._pack_transfer(frames[lo: lo + chunk_cap])
             bucket = self.mesh.pad_to_data(
                 pick_bucket(len(part), settings.FRAME_BUCKETS))
             padded = np.zeros((bucket,) + part.shape[1:], np.uint8)
@@ -177,6 +209,11 @@ class ClipEngine:
         lens: List[int] = []
 
         def pad(part: np.ndarray) -> jnp.ndarray:
+            # compact-transfer pack runs HERE, on the prefetch thread:
+            # the resize/YUV host work overlaps device compute and the
+            # H2D copy ships size²·1.5 bytes/frame instead of raw
+            # frames (the cold-scan wall on bandwidth-limited links)
+            part = self._pack_transfer(part)
             bucket = self.mesh.pad_to_data(
                 pick_bucket(len(part), settings.FRAME_BUCKETS))
             padded = np.zeros((bucket,) + part.shape[1:], np.uint8)
@@ -198,6 +235,7 @@ class ClipEngine:
     def embed_frames_device(self, frames: np.ndarray) -> jax.Array:
         """Like ``embed_frames`` but keeps the (padded) result on device;
         returns (embeddings [B, D], valid mask [B])."""
+        frames = self._pack_transfer(frames)
         bucket = self.mesh.pad_to_data(
             pick_bucket(len(frames), settings.FRAME_BUCKETS))
         padded = np.zeros((bucket,) + frames.shape[1:], np.uint8)

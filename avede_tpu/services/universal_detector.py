@@ -91,9 +91,13 @@ class UniversalDetector:
                 boxes = jnp.concatenate(
                     [cx - w_ / 2, cy - h_ / 2, cx + w_ / 2, cy + h_ / 2], -1)
                 masked = jnp.where(score >= conf_thr, score, -jnp.inf)
-                return jax.vmap(lambda b, s, q: (
-                    *nms_padded(b, s, iou_thr, max_out), q))(
-                        boxes, masked, qidx)
+
+                def one(b, s, q):
+                    ob, os_, valid, idx = nms_padded(
+                        b, s, iou_thr, max_out, return_indices=True)
+                    return ob, os_, valid, q[idx]
+
+                return jax.vmap(one)(boxes, masked, qidx)
 
             self._owl_fns[shape] = run
         return self._owl_fns[shape]
@@ -117,28 +121,28 @@ class UniversalDetector:
         out: List[List[Dict]] = []
         for b in range(len(frames)):
             dets = []
-            # map each kept box back to its best query via normalized
-            # coordinates → grid patch lookup is lossy post-NMS; use the
-            # max-prob query of the nearest original patch box instead:
-            # (the per-patch argmax travels through NMS untouched since
-            # nms preserves score order; recover via score matching)
             for i in np.nonzero(valid[b])[0]:
                 x0, y0, x1, y1 = ob[b, i]
                 dets.append({
                     "bbox": [float(x0 * s + ox), float(y0 * s + oy),
                              float(x1 * s + ox), float(y1 * s + oy)],
                     "confidence": float(os_[b, i]),
-                    "query": None,  # filled below
+                    # the OWL class head's own best query — the
+                    # reference labels the same way (per-query sigmoid,
+                    # universal_detector.py:450-545); the per-patch
+                    # argmax is gathered through NMS via kept indices
+                    "query": queries[int(qidx_all[b, i])],
                     "method": "owlvit",
                 })
             out.append(dets)
-        # attach queries: rerun per-frame best-query map on host (cheap)
+        # annotate (not overwrite) with CLIP crop↔query similarity —
+        # downstream composite scoring consumes query_similarity
         self._attach_queries(out, frames, queries)
         return out
 
     def _attach_queries(self, dets_per_frame, frames, queries) -> None:
-        """Label each detection with its best-matching query via CLIP
-        crop similarity (exact, host-orchestrated, batched)."""
+        """Annotate detections with CLIP crop↔query similarity; fills
+        ``query`` only where the detector didn't already label it."""
         from .detector import extract_object_embeddings
 
         text = self.engine.embed_texts(list(queries))
@@ -149,7 +153,8 @@ class UniversalDetector:
                                             [d["bbox"] for d in dets])
             sims = emb @ text.T
             for d, row in zip(dets, sims):
-                d["query"] = queries[int(np.argmax(row))]
+                if d.get("query") is None:
+                    d["query"] = queries[int(np.argmax(row))]
                 d["query_similarity"] = float(np.max(row))
 
     # ------------------------------------------------------------------

@@ -84,6 +84,14 @@ class Settings(BaseModel):
     BATCHING_EXECUTOR_ENABLED: bool = True  # coalesce concurrent crop embeds
     BATCHING_MAX_WAIT_MS: float = 4.0
     STREAM_CHUNK_FRAMES: int = 256          # decode→embed overlap chunk
+    SCAN_TRANSFER: str = "i420"   # frame-scan host→device codec:
+    # "i420" packs frames at model geometry as full-range BT.601 4:2:0
+    # (5.9× fewer bytes than 512×288 RGB; embedding cosine vs the full
+    # device path ≥0.9998 on decoded video, which is 4:2:0 at the
+    # source — measured ops/preprocess.py); "rgb" = host crop+resize
+    # only (2.9×, ≥0.9999); "full" ships raw frames (exact device
+    # path). On a bandwidth-limited host↔device link the cold scan is
+    # transfer-bound, so this codec IS the cold-path latency knob.
     TEXT_EMBED_CACHE: int = 512   # LRU entries; 0 disables
     EMBEDDING_MEM_CACHE_MB: int = 256   # in-memory table tier; 0 disables
     EMBEDDING_CACHE_INT8: bool = True   # per-row int8 cache entries

@@ -28,21 +28,38 @@ SHAPE_COLORS = [(220, 40, 40), (40, 200, 60), (50, 80, 220),
 
 def draw_shape_scene(rng: np.random.Generator, size: int = 64,
                      max_boxes: int = 3,
-                     min_r: int = 5, max_r: int = 11
+                     min_r: int = 5, max_r: int = 11,
+                     hw: Optional[Tuple[int, int]] = None,
+                     non_overlapping: bool = False
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                 np.ndarray]:
-    """→ (img uint8 [S,S,3], boxes [M,4] xyxy, labels [M], mask [M])."""
+    """→ (img uint8 [H,W,3], boxes [M,4] xyxy, labels [M], mask [M]).
+
+    ``hw`` gives rectangular frames (e.g. 4K 2160×3840 for the tiled
+    small-object benchmark); ``non_overlapping`` rejects placements
+    whose boxes intersect an earlier one — overlap-free ground truth
+    keeps detection-assignment and greedy matching well-posed."""
     import cv2
 
-    img = rng.integers(20, 60, (size, size, 3)).astype(np.uint8)
+    H, W = hw if hw is not None else (size, size)
+    img = rng.integers(20, 60, (H, W, 3)).astype(np.uint8)
     n = int(rng.integers(1, max_boxes + 1))
     boxes = np.zeros((max_boxes, 4), np.float32)
     labels = np.zeros((max_boxes,), np.int32)
     mask = np.zeros((max_boxes,), bool)
-    for i in range(n):
+    placed = 0
+    for _ in range(n * 8 if non_overlapping else n):
+        if placed >= n:
+            break
         r = int(rng.integers(min_r, max_r))
-        cx = int(rng.integers(r + 2, size - r - 2))
-        cy = int(rng.integers(r + 2, size - r - 2))
+        cx = int(rng.integers(r + 2, W - r - 2))
+        cy = int(rng.integers(r + 2, H - r - 2))
+        box = (cx - r, cy - r, cx + r, cy + r)
+        if non_overlapping and any(
+                box[0] < boxes[j][2] and boxes[j][0] < box[2]
+                and box[1] < boxes[j][3] and boxes[j][1] < box[3]
+                for j in range(placed)):
+            continue
         cls = int(rng.integers(0, len(SHAPE_CLASSES)))
         color = SHAPE_COLORS[cls]
         if cls == 0:
@@ -55,11 +72,14 @@ def draw_shape_scene(rng: np.random.Generator, size: int = 64,
                             [cx + r, cy + r]])
             cv2.fillPoly(img, [pts], color)
         else:
-            cv2.rectangle(img, (cx - r, cy - 3), (cx + r, cy + 3),
-                          color, -1)
-        boxes[i] = [cx - r, cy - r, cx + r, cy + r]
-        labels[i] = cls
-        mask[i] = True
+            stripe_h = max(3, r // 3)
+            cv2.rectangle(img, (cx - r, cy - stripe_h),
+                          (cx + r, cy + stripe_h), color, -1)
+            box = (cx - r, cy - stripe_h, cx + r, cy + stripe_h)
+        boxes[placed] = box
+        labels[placed] = cls
+        mask[placed] = True
+        placed += 1
     return img, boxes, labels, mask
 
 
@@ -100,6 +120,23 @@ def draw_person(identity: Dict, rng: np.random.Generator,
           else int(rng.integers(pw // 2 + 2, W - pw // 2 - 2)))
     cy = (center[1] if center
           else int(rng.integers(ph // 2 + 2, H - ph // 2 - 2)))
+    bbox = _draw_person_into(frame, identity, rng, (cx, cy), ph)
+
+    # lighting nuisance: global gain
+    gain = float(rng.uniform(0.7, 1.3))
+    frame = np.clip(frame.astype(np.float32) * gain, 0, 255
+                    ).astype(np.uint8)
+    return frame, bbox
+
+
+def _draw_person_into(frame: np.ndarray, identity: Dict,
+                      rng: np.random.Generator,
+                      center: Tuple[int, int], ph: int) -> List[float]:
+    """Composite one identity view into an existing frame → bbox."""
+    import cv2
+
+    cx, cy = center
+    pw = int(ph * 0.45)
     x0, y0 = cx - pw // 2, cy - ph // 2
     x1, y1 = x0 + pw, y0 + ph
 
@@ -129,12 +166,47 @@ def draw_person(identity: Dict, rng: np.random.Generator,
     for sx in (-ex, ex):
         cv2.circle(frame, (hx + sx, hy), max(head_h // 12, 1),
                    (20, 20, 20), -1)
+    return [float(x0), float(y0), float(x1), float(y1)]
 
-    # lighting nuisance: global gain
+
+def draw_people(identities: List[Dict], rng: np.random.Generator,
+                frame_hw: Tuple[int, int] = (128, 128),
+                person_h_range: Tuple[int, int] = (60, 90)
+                ) -> Tuple[np.ndarray, List[List[float]]]:
+    """One CROWD frame: every identity composited at a non-overlapping
+    position (crowded surveillance-style scene; round-2 verdict item 10
+    asked for ≥4 simultaneous people). Shared background + shared
+    lighting gain; clothing still varies per person per frame.
+
+    → (frame uint8 [H, W, 3], bboxes aligned with ``identities``)."""
+    import cv2  # noqa: F401 — _draw_person_into needs it imported
+
+    H, W = frame_hw
+    bg_level = int(rng.integers(30, 160))
+    frame = np.clip(bg_level
+                    + rng.integers(-25, 25, (H, W, 3)), 0, 255
+                    ).astype(np.uint8)
+    bboxes: List[List[float]] = []
+    occupied: List[Tuple[int, int, int, int]] = []
+    for ident in identities:
+        for _ in range(40):
+            ph = int(rng.integers(*person_h_range))
+            pw = int(ph * 0.45)
+            cx = int(rng.integers(pw // 2 + 2, W - pw // 2 - 2))
+            cy = int(rng.integers(ph // 2 + 2, H - ph // 2 - 2))
+            box = (cx - pw // 2, cy - ph // 2,
+                   cx + pw // 2, cy + ph // 2)
+            if not any(box[0] < o[2] and o[0] < box[2]
+                       and box[1] < o[3] and o[1] < box[3]
+                       for o in occupied):
+                break
+        occupied.append(box)
+        bboxes.append(_draw_person_into(frame, ident, rng, (cx, cy),
+                                        ph))
     gain = float(rng.uniform(0.7, 1.3))
     frame = np.clip(frame.astype(np.float32) * gain, 0, 255
                     ).astype(np.uint8)
-    return frame, [float(x0), float(y0), float(x1), float(y1)]
+    return frame, bboxes
 
 
 def head_crop(frame: np.ndarray, bbox: List[float]) -> np.ndarray:

@@ -142,3 +142,93 @@ class TestMesh:
         assert pick_bucket(5, [32, 64]) == 32
         assert pick_bucket(33, [32, 64]) == 64
         assert pick_bucket(200, [32, 64]) == 256
+
+
+class TestCompactTransfer:
+    """SCAN_TRANSFER codec: host pack ↔ device unpack round-trip and
+    engine-path equivalence (the cold-scan H2D-bandwidth optimization)."""
+
+    def test_i420_pixel_roundtrip(self):
+        import cv2
+
+        from avede_tpu.ops.preprocess import (clip_preprocess,
+                                              clip_preprocess_i420,
+                                              pack_frames_i420)
+
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 255, (18, 32, 3), np.uint8)
+        frames = np.stack([
+            cv2.resize(np.roll(base, i, 1), (512, 288),
+                       interpolation=cv2.INTER_CUBIC)
+            for i in range(4)])
+        import jax.numpy as jnp
+
+        packed = pack_frames_i420(frames, 224)
+        assert packed.shape == (4, 336, 224) and packed.dtype == np.uint8
+        px = np.asarray(clip_preprocess_i420(
+            jnp.asarray(packed), normalize=False))
+        ref = np.asarray(clip_preprocess(
+            jnp.asarray(frames), size=224, normalize=False))
+        # smooth content: chroma subsampling costs ≈1-2% mean abs
+        assert np.abs(px - ref).mean() < 0.03
+        assert px.min() >= 0.0 and px.max() <= 1.0
+
+    def test_rgb_pack_geometry(self):
+        from avede_tpu.ops.preprocess import pack_frames_rgb
+
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, (3, 288, 512, 3), np.uint8)
+        out = pack_frames_rgb(frames, 224)
+        assert out.shape == (3, 224, 224, 3)
+        # already-at-geometry input passes through untouched
+        same = rng.integers(0, 255, (2, 224, 224, 3), np.uint8)
+        assert pack_frames_rgb(same, 224) is same
+
+    def test_engine_modes_agree(self, monkeypatch):
+        """All three transfer modes produce near-identical embeddings
+        through the real engine (tiny config) and distinct cache tags."""
+        import cv2
+
+        from avede_tpu.models.clip import init_clip, tiny_test_config
+        from avede_tpu.parallel.embed import ClipEngine
+        from avede_tpu.utils.config import settings
+
+        cfg = tiny_test_config()
+        _, params = init_clip(cfg, seed=0)
+        rng = np.random.default_rng(2)
+        base = rng.integers(0, 255, (12, 16, 3), np.uint8)
+        frames = np.stack([
+            cv2.resize(np.roll(base, i, 1), (96, 64),
+                       interpolation=cv2.INTER_CUBIC)
+            for i in range(6)])
+
+        embs, tags = {}, {}
+        for mode in ("full", "rgb", "i420"):
+            monkeypatch.setattr(settings, "SCAN_TRANSFER", mode)
+            eng = ClipEngine(cfg=cfg, params=params)
+            embs[mode] = eng.embed_frames(frames)
+            tags[mode] = eng.model_tag
+        assert len(set(tags.values())) == 3, tags
+        assert "i420" not in tags["full"]
+        # per-pixel random chroma is the codec's worst case and the
+        # tiny 32 px tower amplifies it; real decoded video measures
+        # ≥0.9997 at full geometry (ops/preprocess.py docstring)
+        assert (embs["full"] * embs["rgb"]).sum(-1).min() > 0.98
+        assert (embs["full"] * embs["i420"]).sum(-1).min() > 0.93
+
+    def test_stream_matches_batch_under_codec(self, monkeypatch):
+        """embed_stream and embed_frames must agree exactly under the
+        same codec (both pack identically)."""
+        from avede_tpu.models.clip import init_clip, tiny_test_config
+        from avede_tpu.parallel.embed import ClipEngine
+        from avede_tpu.utils.config import settings
+
+        monkeypatch.setattr(settings, "SCAN_TRANSFER", "i420")
+        cfg = tiny_test_config()
+        _, params = init_clip(cfg, seed=0)
+        eng = ClipEngine(cfg=cfg, params=params)
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 255, (10, 64, 96, 3), np.uint8)
+        a = eng.embed_frames(frames)
+        b = eng.embed_stream(iter([frames[:4], frames[4:]]))
+        np.testing.assert_allclose(a, b, atol=1e-5)
