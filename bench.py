@@ -125,8 +125,12 @@ def main() -> None:
     # secondaries run only while the child's 720 s timeout budget
     # allows (remote-tunnel compiles cost 1-2 min per graph; the
     # PRIMARY number must never be lost to a secondary overrun).
+    import os as _os
+
+    budget_total = float(_os.environ.get("AVEDE_BENCH_BUDGET", "600"))
+
     def budget_left() -> float:
-        return 600.0 - (time.perf_counter() - t_start)
+        return budget_total - (time.perf_counter() - t_start)
 
     # tertiary: YOLOv8n detect+NMS fps on the same chip (BASELINE.json's
     # secondary config) folded into the artifact; never sinks the primary.
@@ -253,14 +257,16 @@ def _overlap_benefit(model, params, cfg) -> dict:
                                                workers=workers))
         return time.perf_counter() - t0
 
+    # tunnel-state variance on this rig is large (same config has
+    # measured 2.2 s and 13 s); keep the sweep cheap and give the p50
+    # enough trials to be meaningful
     sweep = {}
-    for workers in (1, 2, 4, 8):
-        sweep[str(workers)] = round(min(stream_once(workers)
-                                        for _ in range(2)), 3)
+    for workers in (2, 4, 8):
+        sweep[str(workers)] = round(stream_once(workers), 3)
     best_workers = min(sweep, key=sweep.get)
-    times = sorted(stream_once(int(best_workers)) for _ in range(3))
-    cold_p50 = times[1]
-    stream_best = min(sweep.values())
+    times = sorted(stream_once(int(best_workers)) for _ in range(5))
+    cold_p50 = times[len(times) // 2]
+    stream_best = min(min(sweep.values()), times[0])
 
     # duplicate-frame gating on surveillance-style footage (static scene
     # with a 120-frame event): effective scan throughput when only run
@@ -285,6 +291,7 @@ def _overlap_benefit(model, params, cfg) -> dict:
     dedup_s = time.perf_counter() - t0
 
     return {"cold_e2e_p50_s_600frames": round(cold_p50, 3),
+            "cold_e2e_best_s_600frames": round(stream_best, 3),
             "sequential_s": round(seq_s, 3),
             "streaming_best_s": round(stream_best, 3),
             "speedup": round(seq_s / stream_best, 3),
@@ -335,24 +342,38 @@ def _advanced_p50(model, params, cfg) -> dict:
                         cache=EmbeddingCache(os.path.join(tmp, "emb")))
     phase3 = Phase3Temporal(Phase2Rerank(phase1))
 
+    # threshold=-1: random-init confidences sit near 0 and the default
+    # 0.25 filter would short-circuit the rerank — the measurement must
+    # exercise the full candidate path.
+    # Compile warmup under a DIFFERENT video id: a serving process
+    # compiles at startup, so the cold number must measure
+    # decode+embed+caption+ground, not XLA compiles. Same video file →
+    # same shape buckets; caches stay cold for the measured id.
     t0 = time.perf_counter()
-    phase3.process_video(video, "a bright moving object",
-                         video_id="adv600")
+    phase3.process_video(video, "warmup pass", video_id="advwarm",
+                         threshold=-1.0)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = phase3.process_video(video, "a bright moving object",
+                             video_id="adv600", threshold=-1.0)
+    assert r, "advanced pipeline returned no candidates"
     cold_s = time.perf_counter() - t0
 
     times = []
     for q in ("a dark scene", "a bright moving object", "fast motion",
               "a striped pattern", "an empty room"):
         t0 = time.perf_counter()
-        phase3.process_video(video, q, video_id="adv600")
+        phase3.process_video(video, q, video_id="adv600",
+                             threshold=-1.0)
         times.append(time.perf_counter() - t0)
     warm_p50 = sorted(times)[len(times) // 2]
     return {"advanced_cold_p50_ms": round(cold_s * 1000, 1),
             "advanced_warm_p50_ms": round(warm_p50 * 1000, 1),
             "warm_runs": len(times),
-            "note": "cold includes first-compile-free full pipeline "
-                    "(decode+embed+caption+ground); warm serves from "
-                    "embedding + repr caches"}
+            "first_compile_s": round(compile_s, 1),
+            "note": "cold = decode+embed+caption+ground with compiled "
+                    "programs (serving processes compile at startup); "
+                    "warm serves from embedding + repr caches"}
 
 
 def _tiled_4k_fps() -> dict:
@@ -520,9 +541,13 @@ def _supervised() -> None:
     cache = Path(__file__).resolve().parent / LAST_GOOD
     for attempt in (1, 2):
         try:
+            import os as _os
+
+            child_timeout = float(_os.environ.get(
+                "AVEDE_BENCH_CHILD_TIMEOUT", "720"))
             proc = subprocess.run(
                 [sys.executable, __file__, "--measure"],
-                capture_output=True, text=True, timeout=720)
+                capture_output=True, text=True, timeout=child_timeout)
         except subprocess.TimeoutExpired:
             continue
         for line in reversed(proc.stdout.strip().splitlines()):
