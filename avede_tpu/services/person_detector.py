@@ -361,14 +361,33 @@ class PersonDetector:
 
     def process_reference(self, image: np.ndarray) -> Dict:
         """Best person detection in the reference image → its features;
-        falls back to the whole image as the person region."""
-        dets = self.detect_persons(image[None], conf_threshold=0.2)[0]
-        if dets:
-            best = max(dets, key=lambda d: d["confidence"])
-            bbox = best["bbox"]
-        else:
-            h, w = image.shape[:2]
-            bbox = [0.0, 0.0, float(w), float(h)]
+        falls back to the whole image as the person region.
+
+        A wrong reference bbox poisons every downstream similarity, and
+        reference images are often user-supplied person CROPS (same UX
+        as reference ``enhanced_person_detector.py:842-876``) where the
+        detector sees a stretched out-of-distribution image and can
+        emit sliver boxes. Candidate regions (whole image + every
+        detection) are ranked by a person-aspect prior (h/w ≈ 2.2, the
+        same geometric family as the reference's face→body
+        extrapolation ``:552-595``) with detector confidence as a small
+        tiebreak — so a tight person crop keeps the whole image while a
+        full scene picks the detected person."""
+        h, w = image.shape[:2]
+
+        def aspect_score(b) -> float:
+            bw, bh = b[2] - b[0], b[3] - b[1]
+            if bw <= 0 or bh <= 0:
+                return 0.0
+            a = bh / bw
+            return 1.0 if 1.6 <= a <= 3.2 else \
+                max(0.0, 1.0 - abs(a - 2.2) / 2.2)
+
+        cands = [([0.0, 0.0, float(w), float(h)], 0.0)]
+        for d in self.detect_persons(image[None], conf_threshold=0.2)[0]:
+            cands.append((d["bbox"], float(d["confidence"])))
+        bbox = max(cands,
+                   key=lambda c: aspect_score(c[0]) + 0.1 * c[1])[0]
         return self.extract_features(image, [bbox])[0]
 
 
