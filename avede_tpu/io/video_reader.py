@@ -176,7 +176,10 @@ class VideoReader:
             # for the decode∥embed overlap. On-chip sweep: 8 workers
             # 2.4-6 s vs 6-24 s at 1 for the 600-frame cold scan.
             workers = 8
-        workers = max(1, min(workers, len(idxs) // max(chunk // 4, 1) or 1))
+        # keep ≥32 frames per span: spans below that fragment the
+        # embed batches for no decode win (device cost of partial
+        # buckets is ~noise; thread startup isn't)
+        workers = max(1, min(workers, len(idxs) // 32 or 1))
 
         def decode_span(span: List[int], out_q):
             """Decode one contiguous span of sampled indices into

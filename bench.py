@@ -261,7 +261,7 @@ def _overlap_benefit(model, params, cfg) -> dict:
     # measured 2.2 s and 13 s); keep the sweep cheap and give the p50
     # enough trials to be meaningful
     sweep = {}
-    for workers in (2, 4, 8):
+    for workers in (4, 8, 12, 16):
         sweep[str(workers)] = round(stream_once(workers), 3)
     best_workers = min(sweep, key=sweep.get)
     times = sorted(stream_once(int(best_workers)) for _ in range(5))

@@ -169,10 +169,16 @@ COLORS = {"red": (220, 40, 40), "green": (40, 200, 60),
 
 
 def _draw(shape: str, color, rng, size: int = 32) -> np.ndarray:
+    """One (shape, color) render. Background LEVEL spans dark→bright so
+    the tiny CLIP learns brightness invariance (the real ViT-B/32 gets
+    this from pretraining diversity; without it the encoder is
+    out-of-distribution on the bright/checker backgrounds of the
+    background-independence eval and its features carry no signal
+    there)."""
     import cv2
 
     img = np.full((size, size, 3),
-                  rng.integers(20, 60), np.uint8)
+                  rng.integers(20, 200), np.uint8)
     c = tuple(int(v) for v in color)
     cx, cy = size // 2 + int(rng.integers(-3, 4)), size // 2 + int(
         rng.integers(-3, 4))
@@ -848,7 +854,8 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
     from avede_tpu.services.person_detector import (PersonDetector,
                                                     PersonSearchService)
     from avede_tpu.utils.synthetic import (draw_person, head_crop,
-                                           identity_batch, make_identity)
+                                           identity_batch, make_identity,
+                                           with_outfit)
 
     rng = np.random.default_rng(seed)
 
@@ -861,9 +868,17 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
     # scale (oracle-box p@12 0.83); 48/800 separates them fully (1.0)
     identities = [make_identity(rng) for _ in range(n_ids)]
     reid_loss = None
-    for _ in range(reid_steps):
+    for i in range(reid_steps):
+        # easy→hard curriculum: with codec+box-jitter augmentation on
+        # from step 0 the NT-Xent loss sits collapsed at log(B) for
+        # ~350 steps before escaping (measured); a short clean warmup
+        # breaks the symmetry immediately, then the hard augmentations
+        # build the invariances the detector boxes + mp4 frames need
+        easy = i < reid_steps // 8
         a, b = identity_batch(identities, rng,
-                              crop_size=acfg.input_size)
+                              crop_size=acfg.input_size,
+                              codec_aug=not easy,
+                              box_jitter=0.0 if easy else 0.08)
         state, m = rstep(state, jnp.asarray(a), jnp.asarray(b))
         reid_loss = float(m["loss"])
     embedder = AppearanceEmbedder(acfg,
@@ -917,7 +932,11 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
     detector = PersonDetector(engine, yolo=yolo, appearance=embedder)
     search = PersonSearchService(engine, detector=detector)
 
-    target, distractors = held[0], held[1:8]
+    # within one video each person keeps their outfit (with_outfit):
+    # body/visual similarity channels in the service carry real signal,
+    # as they do on actual footage
+    target = with_outfit(held[0], rng)
+    distractors = [with_outfit(d, rng) for d in held[1:8]]
     tmp = tempfile.mkdtemp(prefix="avede_person_")
     video = os.path.join(tmp, "people.mp4")
     fps = 4.0
@@ -956,6 +975,16 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
     prec_at_k = correct / max(len(topk), 1)
     rec = len({m["frame_index"] for m in topk}
               & set(gt_target)) / max(k, 1)
+    # FRAME-level ranking (how the product surfaces person hits: a
+    # frame's score is its best match). Match-level top-k lets several
+    # detections from one busy frame crowd out other target frames, so
+    # it understates recall on 4-person scenes.
+    frame_best: dict = {}
+    for m in out["matches"]:
+        frame_best[m["frame_index"]] = max(
+            frame_best.get(m["frame_index"], 0.0), m["similarity"])
+    ranked = sorted(frame_best, key=lambda f: -frame_best[f])[:k]
+    frame_prec = len(set(ranked) & set(gt_target)) / max(len(ranked), 1)
     # full recall over ALL matches above the similarity midpoint
     # (how many target frames surface at all)
     rec_all = len({m["frame_index"] for m in ms}
@@ -964,6 +993,7 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
             "identity_other_mean_sim": other_mean,
             "identity_margin": same_mean - other_mean,
             "person_precision_at_k": prec_at_k,
+            "person_frame_precision_at_k": frame_prec,
             "person_recall_at_k": rec,
             "person_recall": rec_all,
             "scene": "128px crowd, 4 people/frame",
@@ -975,13 +1005,129 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
 
 # ---------------------------------------------------------------------------
 
+def eval_background(seed: int = 0, steps: int = 400,
+                    n_trials: int = 96) -> dict:
+    """Cross-background object matching through the REAL
+    ``BackgroundIndependentService`` (reference target: 85%+ success
+    rate, ``.documents/documents/small_object_detection_enhancement_plan.md:341-344``;
+    the reference measures 0% because its detector never runs).
+
+    Protocol: 16 objects (4 shapes × 4 colors) are rendered on one of
+    five very different backgrounds (dark flat, bright flat, checker,
+    gradient, noise) as references; each trial renders one object on a
+    *different* background at a new position/scale and must match its
+    own reference out of all 16 via ``feature_similarity``. A raw-crop
+    CLIP baseline (no background removal) quantifies what the
+    segmentation + masked-feature path buys — the reference's claimed
+    "20-40% accuracy improvement" (`src/api/main.py:892`)."""
+    import cv2
+
+    from avede_tpu.services.background_independent import (
+        BackgroundIndependentService)
+
+    rng = np.random.default_rng(seed)
+    engine, pairs, loss = _train_tiny_clip(seed, steps)
+    svc = BackgroundIndependentService(engine)
+
+    size = 128
+
+    def background(kind: str, r) -> np.ndarray:
+        if kind == "dark":
+            return np.full((size, size, 3), int(r.integers(20, 50)),
+                           np.uint8)
+        if kind == "bright":
+            return np.full((size, size, 3), int(r.integers(180, 230)),
+                           np.uint8)
+        if kind == "checker":
+            tile = int(r.integers(8, 17))
+            yy, xx = np.mgrid[0:size, 0:size]
+            lo, hi = int(r.integers(30, 80)), int(r.integers(150, 220))
+            img = np.where(((yy // tile + xx // tile) % 2)[..., None],
+                           hi, lo).astype(np.uint8)
+            return np.repeat(img, 3, axis=-1).reshape(size, size, 3)
+        if kind == "gradient":
+            row = np.linspace(30, 220, size).astype(np.uint8)
+            return np.stack([np.tile(row, (size, 1))] * 3, -1)
+        noise = r.integers(0, 255, (size, size, 3)).astype(np.uint8)
+        return cv2.GaussianBlur(noise, (7, 7), 0)
+
+    def render(shape: str, color, bg_kind: str, r):
+        """Object on a background → (frame, bbox)."""
+        frame = background(bg_kind, r).copy()
+        rad = int(r.integers(18, 28))
+        cx = int(r.integers(rad + 4, size - rad - 4))
+        cy = int(r.integers(rad + 4, size - rad - 4))
+        c = tuple(int(v) for v in color)
+        if shape == "square":
+            cv2.rectangle(frame, (cx - rad, cy - rad),
+                          (cx + rad, cy + rad), c, -1)
+        elif shape == "circle":
+            cv2.circle(frame, (cx, cy), rad, c, -1)
+        elif shape == "triangle":
+            pts = np.array([[cx, cy - rad], [cx - rad, cy + rad],
+                            [cx + rad, cy + rad]])
+            cv2.fillPoly(frame, [pts], c)
+        else:  # stripe: wide flat bar
+            cv2.rectangle(frame, (cx - rad, cy - rad // 3),
+                          (cx + rad, cy + rad // 3), c, -1)
+        pad = 6
+        bbox = [cx - rad - pad, cy - rad - pad, cx + rad + pad,
+                cy + rad + pad]
+        return frame, [float(np.clip(v, 0, size)) for v in bbox]
+
+    bg_kinds = ["dark", "bright", "checker", "gradient", "noise"]
+
+    # references: each object on a randomly-assigned background
+    refs, ref_raw, ref_bg = [], [], []
+    for si, (shape, cname) in enumerate(pairs):
+        kind = bg_kinds[si % len(bg_kinds)]
+        frame, bbox = render(shape, COLORS[cname], kind, rng)
+        feat = svc.extract_features(frame, bbox)
+        if feat is None:
+            raise RuntimeError(f"segmentation failed for ref {shape}")
+        refs.append(feat)
+        x0, y0, x1, y1 = (int(v) for v in bbox)
+        ref_raw.append(engine.embed_images([frame[y0:y1, x0:x1]])[0])
+        ref_bg.append(kind)
+
+    hits = raw_hits = 0
+    seg_fail = 0
+    for t in range(n_trials):
+        oi = t % len(pairs)
+        shape, cname = pairs[oi]
+        # probe on a DIFFERENT background family than its reference
+        kind = bg_kinds[(bg_kinds.index(ref_bg[oi])
+                         + 1 + int(rng.integers(0, 4)))
+                        % len(bg_kinds)]
+        frame, bbox = render(shape, COLORS[cname], kind, rng)
+        feat = svc.extract_features(frame, bbox)
+        if feat is None:
+            seg_fail += 1
+            continue
+        sims = [svc.feature_similarity(feat, r) for r in refs]
+        hits += int(np.argmax(sims) == oi)
+        x0, y0, x1, y1 = (int(v) for v in bbox)
+        raw = engine.embed_images([frame[y0:y1, x0:x1]])[0]
+        raw_hits += int(np.argmax([raw @ rr for rr in ref_raw]) == oi)
+
+    done = n_trials - seg_fail
+    return {"success_rate": hits / max(done, 1),
+            "raw_crop_clip_baseline": raw_hits / max(n_trials, 1),
+            "trials": n_trials, "segmentation_failures": seg_fail,
+            "n_objects": len(pairs),
+            "backgrounds": bg_kinds,
+            "reference_target": 0.85,
+            "clip_final_loss": loss}
+
+
 def main() -> None:
     apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode",
                         choices=["image", "grounding", "text",
                                  "detection", "detection4k", "person",
-                                 "caption", "library", "all"],
+                                 "caption", "library", "background",
+                                 "all"],
                         default="all")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -1002,6 +1148,8 @@ def main() -> None:
         out["caption_trained"] = eval_caption(args.seed)
     if args.mode in ("library", "all"):
         out["library_search_trained"] = eval_library(args.seed)
+    if args.mode in ("background", "all"):
+        out["background_independence"] = eval_background(args.seed)
     print(json.dumps(out, indent=2))
 
 

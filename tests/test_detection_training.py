@@ -167,8 +167,13 @@ def trained_reid():
                                            seed=0)
     step = make_reid_train_step(model)
     ids = [make_identity(rng) for _ in range(24)]
-    for _ in range(150):
-        a, b = identity_batch(ids, rng, crop_size=acfg.input_size)
+    # easy→hard curriculum, as in eval.py: hard augmentation from step
+    # 0 leaves NT-Xent collapsed at log(B) for hundreds of steps
+    for i in range(300):
+        easy = i < 75
+        a, b = identity_batch(ids, rng, crop_size=acfg.input_size,
+                              codec_aug=not easy,
+                              box_jitter=0.0 if easy else 0.08)
         state, _ = step(state, jnp.asarray(a), jnp.asarray(b))
     return AppearanceEmbedder(acfg, params=jax.device_get(state.params))
 

@@ -91,3 +91,59 @@ class TestComputeDtype:
         monkeypatch.setattr(det, "init_yolo", spy)
         det.YoloService()
         assert svc_cfg_dtype["dtype"] == "float32"
+
+
+class TestSyntheticPersonHelpers:
+    """New round-3 synthetic-world helpers: per-video outfits, detector
+    box-noise augmentation, codec augmentation."""
+
+    def test_with_outfit_pins_clothing_per_video(self):
+        from avede_tpu.utils.synthetic import (draw_person, make_identity,
+                                               with_outfit)
+
+        rng = np.random.default_rng(0)
+        ident = with_outfit(make_identity(rng), rng)
+        assert len(ident["clothing"]) == 3 and len(ident["legc"]) == 3
+        # torso pixels identical across frames (same outfit)
+        f1, b1 = draw_person(ident, np.random.default_rng(1))
+        f2, b2 = draw_person(ident, np.random.default_rng(2))
+
+        def torso_color(frame, bb):
+            x0, y0, x1, y1 = (int(v) for v in bb)
+            cy = y0 + int((y1 - y0) * 0.4)
+            cx = (x0 + x1) // 2
+            return tuple(frame[cy, cx])
+
+        # draw_person applies a global lighting gain per view, so the
+        # torso keeps its CHROMATICITY (color direction), not raw value
+        c1 = np.asarray(torso_color(f1, b1), np.float32)
+        c2 = np.asarray(torso_color(f2, b2), np.float32)
+        cos = float(c1 @ c2 / (np.linalg.norm(c1) * np.linalg.norm(c2)))
+        assert cos > 0.995
+
+    def test_jitter_bbox_moves_edges_proportionally(self):
+        from avede_tpu.utils.synthetic import jitter_bbox
+
+        rng = np.random.default_rng(0)
+        bbox = [10.0, 20.0, 50.0, 100.0]
+        outs = np.array([jitter_bbox(bbox, rng, frac=0.08)
+                         for _ in range(200)])
+        deltas = outs - np.array(bbox)
+        # zero-mean noise scaled by box dims (w=40, h=80)
+        assert abs(deltas.mean(0)).max() < 2.0
+        assert 1.5 < deltas[:, 0].std() < 6.0      # ~0.08*40=3.2
+        assert 3.0 < deltas[:, 1].std() < 12.0     # ~0.08*80=6.4
+        assert np.allclose(jitter_bbox(bbox, rng, frac=0.0), bbox)
+
+    def test_identity_batch_augmentation_flags(self):
+        from avede_tpu.utils.synthetic import identity_batch, make_identity
+
+        rng = np.random.default_rng(0)
+        ids = [make_identity(rng) for _ in range(4)]
+        a, b = identity_batch(ids, rng, crop_size=32)
+        assert a.shape == b.shape == (4, 32, 32, 3)
+        assert 0.0 <= a.min() and a.max() <= 1.0
+        # flags off still produce valid batches
+        a2, _ = identity_batch(ids, rng, crop_size=32, codec_aug=False,
+                               box_jitter=0.0)
+        assert a2.shape == (4, 32, 32, 3)
