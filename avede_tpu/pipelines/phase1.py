@@ -22,7 +22,7 @@ import numpy as np
 
 from ..io.embedding_cache import EmbeddingCache
 from ..io.video_reader import VideoReader
-from ..ops.dedup import FrameDeduper
+from ..ops.dedup import FrameDeduper, rebatch
 from ..ops.similarity import window_topk, window_topk_multi
 from ..ops.windows import window_middle_indices, window_timestamps
 from ..parallel.embed import ClipEngine, get_engine
@@ -86,7 +86,13 @@ class Phase1Scan:
                 yield frames
 
         with trace("phase1.decode_embed"):
-            emb = self.engine.embed_stream(chunks())
+            # rebatch: dedup leaves chunks of arbitrary size; coalescing
+            # keeps the stream on one compiled bucket shape instead of
+            # paying a fresh compile + per-dispatch RTT per odd size
+            stream = chunks()
+            if deduper is not None:
+                stream = rebatch(stream, settings.STREAM_CHUNK_FRAMES)
+            emb = self.engine.embed_stream(stream)
         if deduper is not None:
             emb = deduper.scatter(emb)
             if deduper.n_unique < deduper.n_total:

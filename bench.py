@@ -280,13 +280,17 @@ def _overlap_benefit(model, params, cfg) -> dict:
             f[100:180, (i * 4) % 400: (i * 4) % 400 + 80] = 255
         w.write(f)
     w.release()
-    from avede_tpu.ops.dedup import FrameDeduper
+    from avede_tpu.ops.dedup import FrameDeduper, rebatch
 
     t0 = time.perf_counter()
     deduper = FrameDeduper(eps=1.5)
     chunks = (deduper.filter(f)
-              for f, _ in reader.stream_frames(video2, chunk=256))
-    emb = engine.embed_stream(c for c in chunks if len(c))
+              for f, _ in reader.stream_frames(
+                  video2, chunk=256, workers=int(best_workers)))
+    # rebatch → one compiled bucket shape (as the phase-1 path does);
+    # round-2's uncoalesced variant paid fresh small-bucket compiles
+    # and measured 10.2 s for 36 embedded frames
+    emb = engine.embed_stream(rebatch(chunks, 256))
     deduper.scatter(np.asarray(emb))
     dedup_s = time.perf_counter() - t0
 

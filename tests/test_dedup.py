@@ -166,3 +166,50 @@ class TestPhase1Dedup:
         # different eps must NOT hit the dedup-tagged entry
         emb2, _ = p.frame_embeddings(video)
         assert emb1.shape == emb2.shape
+
+
+class TestRebatch:
+    """rebatch coalesces dedup-filtered chunks back to one bucket
+    shape so the scan stays on a single compiled program."""
+
+    def test_preserves_order_and_content(self):
+        from avede_tpu.ops.dedup import rebatch
+
+        rng = np.random.default_rng(0)
+        parts = [rng.integers(0, 255, (n, 4, 4, 3), np.uint8)
+                 for n in (1, 0, 300, 7, 250, 0, 2)]
+        out = list(rebatch(iter(parts), 256))
+        whole = np.concatenate([p for p in parts if len(p)])
+        assert [len(o) for o in out] == [256, 256, 48]
+        assert np.array_equal(np.concatenate(out), whole)
+
+    def test_exact_multiple_has_no_empty_tail(self):
+        from avede_tpu.ops.dedup import rebatch
+
+        whole = np.arange(512 * 3, dtype=np.uint8).reshape(512, 3)
+        out = list(rebatch(iter([whole]), 256))
+        assert [len(o) for o in out] == [256, 256]
+        assert np.array_equal(np.concatenate(out), whole)
+
+    def test_empty_stream(self):
+        from avede_tpu.ops.dedup import rebatch
+
+        empty = np.zeros((0, 4, 4, 3), np.uint8)
+        assert list(rebatch(iter([empty, empty]), 256)) == []
+
+    def test_invalid_size_raises(self):
+        from avede_tpu.ops.dedup import rebatch
+
+        with pytest.raises(ValueError):
+            list(rebatch(iter([]), 0))
+
+    def test_small_chunks_coalesce(self):
+        from avede_tpu.ops.dedup import rebatch
+
+        # the dedup regime: many 1-2 frame survivors per 256-chunk
+        parts = [np.full((n, 2, 2, 3), i, np.uint8)
+                 for i, n in enumerate([1, 2, 1, 1, 3, 1])]
+        out = list(rebatch(iter(parts), 4))
+        assert [len(o) for o in out] == [4, 4, 1]
+        whole = np.concatenate(parts)
+        assert np.array_equal(np.concatenate(out), whole)
