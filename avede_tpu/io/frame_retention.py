@@ -1,0 +1,115 @@
+"""Host-side retention of scan-decoded frames for same-request reuse.
+
+The cold advanced path decodes the whole video once for the phase-1
+scan, then the phase-2 reranker needs the K candidate middle frames —
+which the reference re-extracts with a SECOND full decode
+(``/root/reference/src/pipeline/phase2_reranker.py:52``) and round 2
+here re-read with one capture + K container seeks
+(``VideoReader.read_frames_at``). Both re-touch the file for frames the
+host already held moments earlier.
+
+This store keeps the scan's decoded chunks alive (by reference — the
+reader allocates a fresh buffer per chunk, so retention costs zero
+copies) keyed by timestamp, bounded by ``settings.FRAME_RETAIN_MB``.
+Only the most recently scanned video is retained: the serving pattern
+this accelerates is scan → rerank within one request, not a cross-video
+cache (that role belongs to the embedding / repr caches).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.config import settings
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def ts_key(t: float) -> int:
+    """Millisecond-quantized timestamp key (matches the repr-cache's
+    quantization so one scan timestamp maps to one retained frame)."""
+    return int(round(float(t) * 1000))
+
+
+class FrameRetention:
+    """Budgeted single-video frame store.
+
+    ``begin`` starts retention for a video (evicting the previous one),
+    ``add`` records a decoded chunk, ``lookup`` returns whatever subset
+    of the requested timestamps is retained. Exceeding the byte budget
+    drops the whole video's retention (a partial store would still
+    satisfy some lookups, but the budget exists to bound worst-case
+    host memory, and half-retained videos complicate accounting for a
+    path that always has the file-read fallback).
+    """
+
+    def __init__(self, budget_mb: Optional[int] = None) -> None:
+        self._budget_mb = budget_mb
+        self._lock = threading.Lock()
+        self._vid: Optional[str] = None
+        self._chunks: List[np.ndarray] = []
+        self._index: Dict[int, Tuple[int, int]] = {}   # key → (chunk, row)
+        self._bytes = 0
+        self._over = False
+
+    @property
+    def budget_bytes(self) -> int:
+        mb = (settings.FRAME_RETAIN_MB if self._budget_mb is None
+              else self._budget_mb)
+        return max(int(mb), 0) * (1 << 20)
+
+    def begin(self, video_id: str) -> None:
+        with self._lock:
+            self._vid = video_id
+            self._chunks = []
+            self._index = {}
+            self._bytes = 0
+            self._over = self.budget_bytes == 0
+
+    def add(self, video_id: str, frames: np.ndarray,
+            timestamps: Sequence[float]) -> None:
+        """Retain one decoded chunk (no copy — caller must not mutate)."""
+        if len(frames) != len(timestamps):
+            raise ValueError(
+                f"frames/timestamps length mismatch: {len(frames)} vs "
+                f"{len(timestamps)}")
+        with self._lock:
+            if self._vid != video_id or self._over:
+                return
+            if self._bytes + frames.nbytes > self.budget_bytes:
+                self._over = True
+                self._chunks = []
+                self._index = {}
+                logger.info(
+                    "Frame retention over budget for %s (%d MB cap) — "
+                    "disabled for this video; rerank falls back to "
+                    "file reads", video_id, self.budget_bytes >> 20)
+                return
+            ci = len(self._chunks)
+            self._chunks.append(frames)
+            self._bytes += frames.nbytes
+            for row, t in enumerate(timestamps):
+                self._index[ts_key(t)] = (ci, row)
+
+    def lookup(self, video_id: str, timestamps: Sequence[float]
+               ) -> Dict[int, np.ndarray]:
+        """→ {ts_key: frame} for every requested timestamp retained."""
+        with self._lock:
+            if self._vid != video_id or self._over:
+                return {}
+            out = {}
+            for t in timestamps:
+                hit = self._index.get(ts_key(t))
+                if hit is not None:
+                    ci, row = hit
+                    out[ts_key(t)] = self._chunks[ci][row]
+            return out
+
+    @property
+    def retained_bytes(self) -> int:
+        with self._lock:
+            return self._bytes if not self._over else 0

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.embedding_cache import EmbeddingCache
+from ..io.frame_retention import FrameRetention
 from ..io.video_reader import VideoReader
 from ..ops.dedup import FrameDeduper, rebatch
 from ..ops.similarity import window_topk, window_topk_multi
@@ -43,6 +44,9 @@ class Phase1Scan:
         self.reader = reader or VideoReader()
         self.cache = cache if cache is not None else (
             EmbeddingCache() if settings.EMBEDDING_CACHE_ENABLED else None)
+        # scan-decoded frames of the latest video, kept for the
+        # phase-2 reranker (cold advanced path: no second decode)
+        self.retention = FrameRetention()
 
     def cache_tag(self) -> str:
         """Embedding-cache model tag (shared with every other table
@@ -72,6 +76,7 @@ class Phase1Scan:
         ts: List[float] = []
         shape: List[Tuple[int, int]] = []
         deduper = FrameDeduper(eps) if eps > 0 else None
+        self.retention.begin(vid)
 
         def chunks():
             for frames, chunk_ts in self.reader.stream_frames(
@@ -79,6 +84,9 @@ class Phase1Scan:
                 ts.extend(chunk_ts)
                 if not shape:
                     shape.append(frames.shape[1:3])
+                # retain pre-dedup (the reranker needs frames the scan
+                # skipped as duplicates too); zero-copy chunk reference
+                self.retention.add(vid, frames, chunk_ts)
                 if deduper is not None:
                     frames = deduper.filter(frames)
                     if len(frames) == 0:

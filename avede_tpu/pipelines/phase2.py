@@ -55,8 +55,10 @@ class Phase2Rerank:
         warm rerank touches neither the video file nor BLIP."""
         cap = self.captioner
         if video_id is None:
-            frames = self.phase1.reader.read_frames_at(video_path,
-                                                       timestamps)
+            from .phase1 import _default_video_id
+
+            frames, _ = self._candidate_frames(
+                video_path, _default_video_id(video_path), timestamps)
             return cap.frame_repr(frames)
         if self._repr_cache is None:
             with self._cache_lock:   # concurrent API requests share us
@@ -76,8 +78,8 @@ class Phase2Rerank:
         keyf = self._repr_cache.key
         missing = [t for t in timestamps if keyf(t) not in hit]
         if missing:
-            frames, ok = self.phase1.reader.read_frames_at(
-                video_path, missing, return_ok=True)
+            frames, ok = self._candidate_frames(video_path, video_id,
+                                                missing)
             fresh = dict(zip((keyf(t) for t in missing),
                              cap.frame_repr(frames)))
             # persist only successfully-decoded frames: a transient
@@ -88,6 +90,37 @@ class Phase2Rerank:
                 if good})
             hit.update(fresh)
         return [hit[keyf(t)] for t in timestamps]
+
+    def _candidate_frames(self, video_path: str, video_id: str,
+                          timestamps: List[float]):
+        """Candidate frames for rerank: scan-retained decoded frames
+        when the cold scan just ran (``Phase1Scan.retention`` — no
+        second decode, the reference's double-decode fixed at zero IO
+        cost), container seeks only for frames retention doesn't hold."""
+        from ..io.frame_retention import ts_key
+
+        retained = self.phase1.retention.lookup(video_id, timestamps)
+        to_read = [t for t in timestamps if ts_key(t) not in retained]
+        if not retained:
+            return self.phase1.reader.read_frames_at(
+                video_path, timestamps, return_ok=True)
+        if to_read:
+            read, read_ok = self.phase1.reader.read_frames_at(
+                video_path, to_read, return_ok=True)
+            read_map = {ts_key(t): (f, o) for t, f, o in
+                        zip(to_read, read, read_ok)}
+        else:
+            read_map = {}
+        sample = next(iter(retained.values()))
+        frames = np.zeros((len(timestamps),) + sample.shape, np.uint8)
+        ok = np.zeros((len(timestamps),), bool)
+        for n, t in enumerate(timestamps):
+            k = ts_key(t)
+            if k in retained:
+                frames[n], ok[n] = retained[k], True
+            else:
+                frames[n], ok[n] = read_map[k]
+        return frames, ok
 
     def process_video(self, video_path: str, query: str,
                       top_k: Optional[int] = None,

@@ -114,6 +114,11 @@ class Settings(BaseModel):
     # (0 = auto: min(4, cpu_count); measured on this 1-core dev box
     # threading loses — ffmpeg contends with itself — while TPU-VM
     # hosts have 100+ cores where spans scale near-linearly)
+    FRAME_RETAIN_MB: int = 512    # scan-decoded frames kept (by
+    # reference, zero-copy) for the same request's phase-2 rerank —
+    # the cold advanced path reads NO frames twice. 0 disables;
+    # over-budget videos fall back to container seeks. 512 MB holds
+    # ~2000 frames at 512×288.
     TOP_K_RESULTS: int = 15
     CONFIDENCE_THRESHOLD: float = 0.25
     CLIP_DURATION: float = 30.0             # seconds per extracted clip
