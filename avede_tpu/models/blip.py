@@ -292,9 +292,16 @@ class BlipCaptioner(nn.Module):
 
     def generate(self, pixels: jax.Array,
                  max_len: Optional[int] = None) -> jax.Array:
-        """Greedy caption ids [B, max_len] via ``lax.scan`` + KV cache.
+        """Greedy caption ids [B, max_len] via ``lax.while_loop`` + KV
+        cache. Output begins with BOS; positions after EOS are PAD.
 
-        Output begins with BOS; positions after EOS are PAD.
+        ``while_loop`` (not ``scan``): real captions end after ~10-15
+        tokens, so the loop exits as soon as EVERY row has emitted EOS
+        instead of always running ``max_len - 1`` decoder steps — same
+        program, dynamic trip count, shapes static throughout. Exited
+        iterations write nothing (rows are PAD-filled from init), so the
+        result is bit-identical to the fixed-trip scan (covered by the
+        beam==1 equivalence and HF parity tests).
         """
         cfg = self.cfg
         max_len = max_len or cfg.max_caption_len
@@ -309,8 +316,12 @@ class BlipCaptioner(nn.Module):
         tokens0 = jnp.full((B, max_len), cfg.pad_token_id, jnp.int32)
         tokens0 = tokens0.at[:, 0].set(cfg.bos_token_id)
 
-        def step(carry, t):
-            tokens, caches, done = carry
+        def cond(carry):
+            _, _, done, t = carry
+            return (t < max_len - 1) & ~jnp.all(done)
+
+        def body(carry):
+            tokens, caches, done, t = carry
             cur = jax.lax.dynamic_slice(tokens, (0, t), (B, 1))
             logits, caches = self.text(cur, v, position_offset=t,
                                        kv_caches=caches, cache_index=t)
@@ -320,11 +331,11 @@ class BlipCaptioner(nn.Module):
             write = jnp.minimum(t + 1, max_len - 1)
             tokens = jax.lax.dynamic_update_slice(
                 tokens, nxt[:, None], (0, write))
-            return (tokens, caches, done), None
+            return (tokens, caches, done, t + 1)
 
         done0 = jnp.zeros((B,), bool)
-        (tokens, _, _), _ = jax.lax.scan(
-            step, (tokens0, caches, done0), jnp.arange(max_len - 1))
+        tokens, _, _, _ = jax.lax.while_loop(
+            cond, body, (tokens0, caches, done0, jnp.asarray(0)))
         return tokens
 
     def generate_beam(self, pixels: jax.Array, num_beams: int = 3,

@@ -172,3 +172,34 @@ class TestBeamDecode:
             {"params": params}, frames[:1], 4, length_penalty=0.0,
             method=model.generate_beam))[0]
         assert seq_logprob(beam) >= seq_logprob(greedy) - 1e-5
+
+
+class TestGreedyEarlyExit:
+    """``generate`` is a ``lax.while_loop`` that stops once every row
+    has emitted EOS; forcing EOS at step 1 must still produce exactly
+    [BOS, EOS, PAD...] per row (identical to the fixed-trip decode)."""
+
+    def test_forced_eos_rows_are_padded(self, tiny_blip, frames):
+        model, params, cfg = tiny_blip
+        forced = jax.tree_util.tree_map(np.array, params)
+        bias = forced["text"]["decoder"]["bias"]
+        bias[:] = -20.0
+        bias[cfg.eos_token_id] = 20.0
+        forced["text"]["decoder"]["bias"] = jnp.asarray(bias)
+        out = np.asarray(model.apply({"params": forced}, frames,
+                                     method=model.generate))
+        assert out.shape == (2, cfg.max_caption_len)
+        assert (out[:, 0] == cfg.bos_token_id).all()
+        assert (out[:, 1] == cfg.eos_token_id).all()
+        assert (out[:, 2:] == cfg.pad_token_id).all()
+
+    def test_mixed_done_rows_match_beam1(self, tiny_blip, frames):
+        """Early exit must not change results when rows finish at
+        different steps (or never): beam==1 path has no early exit and
+        serves as the fixed-trip reference."""
+        model, params, cfg = tiny_blip
+        greedy = np.asarray(model.apply({"params": params}, frames,
+                                        method=model.generate))
+        ref = np.asarray(model.apply({"params": params}, frames, 1,
+                                     method=model.generate_beam))
+        np.testing.assert_array_equal(greedy, ref)
