@@ -202,6 +202,10 @@ def main() -> None:
                            "per trial) — matches ClipEngine.embed_stream",
             "per_batch_sync_ms": sync_ms,
             "device": str(dev),
+            # host-bound secondaries (cold_e2e decode workers, 4K tile
+            # prep) depend hard on the measurement host; record it so
+            # run-to-run differences are attributable
+            "host_cores": len(_os.sched_getaffinity(0)),
             "model": "ViT-B/32 bf16",
             "input": "uint8 512x288 (decoded 1080p)",
             "warm_query_p50_ms_600frames": warm_query_ms,
@@ -318,7 +322,10 @@ def _overlap_benefit(model, params, cfg) -> dict:
         pass
     decode_only_s = time.perf_counter() - t0
 
+    import os as _os
+
     return {"cold_e2e_p50_s_600frames": round(cold_p50, 3),
+            "host_cores": len(_os.sched_getaffinity(0)),
             "cold_e2e_best_s_600frames": round(stream_best, 3),
             "sequential_s": round(seq_s, 3),
             "streaming_best_s": round(stream_best, 3),
