@@ -272,6 +272,50 @@ class VideoReader:
                     "%d decode workers)", total, path, tw, th, meta.fps,
                     len(spans))
 
+    def stream_batches(self, path: str, batch: int,
+                       sample_rate: Optional[int] = None,
+                       max_frames: Optional[int] = None):
+        """(uint8 [batch, H, W, 3], timestamps) generator with EXACT
+        ``batch``-sized yields (final one may be short): the
+        decode∥compute overlap surface for the detection services.
+        ``stream_frames`` flushes per worker span, so raw chunks end in
+        up to ``workers`` odd sizes; coalescing keeps consumers on ONE
+        compiled batch shape (the ``ops.dedup.rebatch`` rationale, with
+        timestamps carried alongside)."""
+        buf_f: List[np.ndarray] = []
+        buf_t: List[float] = []
+        have = 0
+        for frames, ts in self.stream_frames(path, chunk=batch,
+                                             sample_rate=sample_rate,
+                                             max_frames=max_frames):
+            buf_f.append(frames)
+            buf_t.extend(ts)
+            have += len(frames)
+            while have >= batch:
+                whole = (np.concatenate(buf_f, axis=0)
+                         if len(buf_f) > 1 else buf_f[0])
+                yield whole[:batch], buf_t[:batch]
+                buf_f, buf_t = [whole[batch:]], buf_t[batch:]
+                have = len(buf_f[0])
+        if have:
+            yield (np.concatenate(buf_f, axis=0)
+                   if len(buf_f) > 1 else buf_f[0]), buf_t
+
+    def expected_sample_count(self, path: str,
+                              sample_rate: Optional[int] = None,
+                              max_frames: Optional[int] = None) -> int:
+        """How many frames a stream over ``path`` will yield (progress
+        denominators for streaming consumers) — same sampling math as
+        ``stream_frames``."""
+        from ..utils.memory import decode_budget
+
+        meta = probe_video(path)
+        rate = sample_rate or self.sample_rate
+        fcap = max_frames or self.max_frames
+        tw, th = _fit_size(meta.width, meta.height, self.max_side)
+        fcap, rate = decode_budget(fcap, (th, tw), rate)
+        return len(sample_indices(meta.total_frames, rate, fcap))
+
     @staticmethod
     def _convert(frame_bgr: np.ndarray, tw: int, th: int) -> np.ndarray:
         import cv2

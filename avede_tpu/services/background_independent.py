@@ -261,9 +261,6 @@ class BackgroundIndependentService:
         video (the working version of ``/api/background-independence``,
         reference §2.6.6)."""
         t0 = time.time()
-        frames, timestamps = self.reader.extract_frames(
-            video_path, sample_rate=sample_rate,
-            max_frames=min(settings.MAX_FRAMES, 60))
         if detector is None:
             if self._detector is None:
                 from .universal_detector import UniversalDetector
@@ -274,9 +271,12 @@ class BackgroundIndependentService:
 
         results: List[Dict] = []
         stats = {"candidates": 0, "segmented": 0}
-        batch = 8
-        for lo in range(0, len(frames), batch):
-            fb = frames[lo: lo + batch]
+        # streaming decode∥detect (phase-1 overlap pattern); GrabCut
+        # segmentation is host-bound, so decode workers overlap it too
+        n_frames = 0
+        for fb, ts_batch in self.reader.stream_batches(
+                video_path, 8, sample_rate=sample_rate,
+                max_frames=min(settings.MAX_FRAMES, 60)):
             dets_per_frame = detector.detect_unlimited_objects(
                 fb, list(queries), detection_mode="clip",
                 conf_threshold=confidence_threshold * 0.5, adaptive=False)
@@ -296,8 +296,8 @@ class BackgroundIndependentService:
                     if score >= confidence_threshold:
                         results.append({
                             "bbox": d["bbox"],
-                            "timestamp": float(timestamps[lo + i]),
-                            "frame_index": lo + i,
+                            "timestamp": float(ts_batch[i]),
+                            "frame_index": n_frames + i,
                             "query": queries[qi],
                             "confidence": score,
                             "bg_similarity": float(sims[qi]),
@@ -306,6 +306,7 @@ class BackgroundIndependentService:
                                 feat["shape"][:5].tolist(),
                             "method": "background_independent",
                         })
+            n_frames += len(fb)
 
         results.sort(key=lambda r: r["confidence"], reverse=True)
         results = results[:top_k]
@@ -317,5 +318,5 @@ class BackgroundIndependentService:
                 "removal_strength": background_removal_strength,
                 "processing_time": time.time() - t0,
             },
-            "metadata": {"frames_processed": len(frames)},
+            "metadata": {"frames_processed": n_frames},
         }

@@ -62,14 +62,15 @@ class OpenVocabMatcher:
         t0 = time.time()
         precision_thr = settings.MATCHING_PRECISIONS.get(
             matching_precision, confidence_threshold)
-        frames, timestamps = self.reader.extract_frames(
-            video_path, sample_rate=sample_rate,
-            max_frames=min(settings.MAX_FRAMES, 200))
-
+        # streaming decode∥detect (phase-1 overlap pattern): decode
+        # worker threads fill the next batch while the device detects
+        # the current one
         results: List[Dict] = []
         prev = None
-        for lo in range(0, len(frames), batch_size):
-            batch = frames[lo: lo + batch_size]
+        n_frames = 0
+        for batch, ts_batch in self.reader.stream_batches(
+                video_path, batch_size, sample_rate=sample_rate,
+                max_frames=min(settings.MAX_FRAMES, 200)):
             contexts = []
             for f in batch:
                 contexts.append(DetectionContext.from_frame(f, prev))
@@ -79,12 +80,12 @@ class OpenVocabMatcher:
                 conf_threshold=min(confidence_threshold, precision_thr),
                 contexts=contexts)
             for i, dets in enumerate(dets_per_frame):
-                ts = timestamps[lo + i]
                 for d in dets:
                     d = self._enhance(d, batch[i], queries)
-                    d["timestamp"] = float(ts)
-                    d["frame_index"] = lo + i
+                    d["timestamp"] = float(ts_batch[i])
+                    d["frame_index"] = n_frames + i
                     results.append(d)
+            n_frames += len(batch)
 
         results = [r for r in results
                    if r["composite_score"] >= precision_thr]
@@ -99,7 +100,7 @@ class OpenVocabMatcher:
             "results": results,
             "total_found": len(results),
             "metadata": {
-                "frames_processed": len(frames),
+                "frames_processed": n_frames,
                 "detection_mode": detection_mode,
                 "matching_precision": matching_precision,
                 "precision_threshold": precision_thr,

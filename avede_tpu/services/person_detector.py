@@ -421,44 +421,56 @@ class PersonSearchService:
         self.stop_event.clear()
 
         ref = self.detector.process_reference(reference_image)
-        frames, timestamps = self.reader.extract_frames(
+
+        # streaming decode∥detect: decoder worker threads fill chunk
+        # queues while the device detects the previous batch, so the
+        # scan wall is ≈ max(decode, detect) instead of their sum
+        # (the phase-1 overlap pattern, applied to the person scan)
+        expected = self.reader.expected_sample_count(
             video_path, sample_rate=skip)
 
         # near-duplicate frames run detection + feature extraction once
         # per run representative (GrabCut silhouettes and crop embeds
         # are the host-side cost on static surveillance footage)
         eps = settings.SCAN_DEDUP_EPS
-        deduper = (FrameDeduper(eps) if eps > 0 and len(frames) > 1
-                   else None)
-        scan_frames = (deduper.filter(np.asarray(frames))
-                       if deduper is not None else frames)
+        deduper = FrameDeduper(eps) if eps > 0 else None
 
         # per-unique-frame: (above-threshold candidates, any-person flag)
         uniq: List[Tuple[List, bool]] = []
-        for lo in range(0, len(scan_frames), batch):
+        chunks: List[np.ndarray] = []
+        timestamps: List[float] = []
+        stopped = False
+        for raw, ts in self.reader.stream_batches(video_path, batch,
+                                                  sample_rate=skip):
+            chunks.append(raw)
+            timestamps.extend(ts)
+            if stopped:
+                continue     # drain decode threads without processing
             if self.stop_event.is_set():
                 logger.info("Person search stopped by request")
-                break
-            fb = scan_frames[lo: lo + batch]
-            dets_per_frame = self.detector.detect_persons(fb)
-            for i, dets in enumerate(dets_per_frame):
-                entry: List = []
-                if dets:
-                    feats = self.detector.extract_features(
-                        fb[i], [d["bbox"] for d in dets])
-                    for d, f in zip(dets, feats):
-                        sims = self.detector.similarity(ref, f)
-                        if sims["similarity"] >= thr:
-                            entry.append((d, sims))
-                uniq.append((entry, bool(dets)))
+                stopped = True
+                continue
+            fb = deduper.filter(raw) if deduper is not None else raw
+            if len(fb):
+                dets_per_frame = self.detector.detect_persons(fb)
+                for i, dets in enumerate(dets_per_frame):
+                    entry: List = []
+                    if dets:
+                        feats = self.detector.extract_features(
+                            fb[i], [d["bbox"] for d in dets])
+                        for d, f in zip(dets, feats):
+                            sims = self.detector.similarity(ref, f)
+                            if sims["similarity"] >= thr:
+                                entry.append((d, sims))
+                    uniq.append((entry, bool(dets)))
             if progress_callback:
-                progress_callback(min((lo + batch)
-                                      / max(len(scan_frames), 1), 1.0))
+                progress_callback(min(len(timestamps)
+                                      / max(expected, 1), 1.0))
 
         matches: List[PersonMatch] = []
         frames_with_persons = 0
         mapping = (deduper.mapping if deduper is not None
-                   else list(range(len(frames))))
+                   else list(range(len(timestamps))))
         for fi, m in enumerate(mapping):
             if m >= len(uniq):          # stop_event cut the scan short
                 break
@@ -481,10 +493,12 @@ class PersonSearchService:
 
         annotated: List[str] = []
         if save_annotated_frames and matches:
+            frames = (np.concatenate(chunks, axis=0) if len(chunks) > 1
+                      else chunks[0])
             annotated = self._save_annotated(frames, matches, output_dir)
 
-        report = self._report(matches, len(frames), frames_with_persons,
-                              time.time() - t0, thr)
+        report = self._report(matches, len(timestamps),
+                              frames_with_persons, time.time() - t0, thr)
         return {"matches": [m.to_dict() for m in matches],
                 "total_found": len(matches),
                 "results": [m.to_dict() for m in matches],

@@ -70,6 +70,33 @@ class TestVideoReader:
         np.testing.assert_array_equal(frames, ref_frames)
         assert all(len(c) <= 16 for c, _ in chunks)
 
+    def test_stream_batches_exact_sizes(self, test_video):
+        """``stream_batches`` coalesces the per-span flush remainders:
+        every yield except the last is exactly ``batch`` frames, and the
+        concatenation is byte-identical to the whole-video extract."""
+        from avede_tpu.io.video_reader import VideoReader
+
+        r = VideoReader()
+        ref_frames, ref_ts = r.extract_frames(test_video)
+        batches = list(r.stream_batches(test_video, 7))
+        sizes = [len(f) for f, _ in batches]
+        assert all(s == 7 for s in sizes[:-1]) and 0 < sizes[-1] <= 7
+        frames = np.concatenate([f for f, _ in batches])
+        ts = [t for _, bts in batches for t in bts]
+        assert ts == ref_ts
+        np.testing.assert_array_equal(frames, ref_frames)
+        for f, bts in batches:
+            assert len(f) == len(bts)
+
+    def test_expected_sample_count(self, test_video):
+        from avede_tpu.io.video_reader import VideoReader
+
+        r = VideoReader()
+        _, ts = r.extract_frames(test_video)
+        assert r.expected_sample_count(test_video) == len(ts)
+        assert r.expected_sample_count(test_video, sample_rate=5) == \
+            len(r.extract_frames(test_video, sample_rate=5)[1])
+
     @pytest.mark.parametrize("sample_rate", [1, 7])
     def test_parallel_decode_identical(self, test_video, sample_rate):
         """Multi-worker segment decode (dense scan AND sparse seek
