@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from ..io.video_reader import VideoReader
-from ..ops.tiling import tile_frame
+from ..ops.tiling import tile_frame, tile_grid
 from ..parallel.embed import ClipEngine
 from ..utils.config import settings
 from ..utils.logging import get_logger
@@ -139,8 +139,8 @@ class SmallObjectService:
                 enable_rpn=enable_rpn, context=ctx,
                 enable_adaptive_thresholds=enable_adaptive_thresholds,
                 detection_mode=detection_mode)
-            stats["tiles_processed"] += len(
-                tile_frame(frame, self.tile, self.overlap)[1])
+            stats["tiles_processed"] += len(tile_grid(
+                frame.shape[0], frame.shape[1], self.tile, self.overlap))
             for d in dets:
                 x0, y0, x1, y1 = d["bbox"]
                 side = float(np.sqrt(max(x1 - x0, 1) * max(y1 - y0, 1)))
