@@ -57,6 +57,16 @@ class Phase3Temporal:
 
     def _forward(self, emb: np.ndarray, text: np.ndarray,
                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """Saliency + offsets for ALL frames.
+
+        Frame counts pad to power-of-two buckets (one compile per
+        bucket, not per distinct video length), and videos longer than
+        the head's ``max_frames`` positional table run as a BATCH of
+        windows in one call rather than silently truncating (the
+        pre-fix behavior indexed out of range past ``max_frames``).
+        Each window sees positions restarting at 0 — offsets are
+        per-frame relative so only saliency context at window edges
+        differs, and only for >``max_frames``-frame videos."""
         if self._fwd is None:
             model = self.model
 
@@ -65,15 +75,25 @@ class Phase3Temporal:
                 return model.apply({"params": params}, fe, te, valid)
 
             self._fwd = run
-        n = emb.shape[0]
-        cap = min(self.cfg.max_frames, max(n, 8))
-        padded = np.zeros((1, cap, emb.shape[1]), np.float32)
-        padded[0, :n] = emb[:cap]
-        valid = np.zeros((1, cap), bool)
-        valid[0, :n] = True
+        n, d = emb.shape
+        capmax = self.cfg.max_frames
+        cap = min(capmax, max(8, 1 << (n - 1).bit_length() if n > 1
+                              else 8))
+        nw = (n + cap - 1) // cap
+        padded = np.zeros((nw, cap, d), np.float32)
+        valid = np.zeros((nw, cap), bool)
+        for b in range(nw):
+            lo = b * cap
+            m = min(cap, n - lo)
+            padded[b, :m] = emb[lo:lo + m]
+            valid[b, :m] = True
+        text_b = np.broadcast_to(text, (nw,) + text.shape)
         sal, off = self._fwd(self.params, jnp.asarray(padded),
-                             jnp.asarray(text[None]), jnp.asarray(valid))
-        return np.asarray(sal)[0, :n], np.asarray(off)[0, :n]
+                             jnp.asarray(text_b), jnp.asarray(valid))
+        sal = np.asarray(sal).reshape(nw * cap)[:]
+        off = np.asarray(off).reshape(nw * cap, -1)
+        keep = valid.reshape(nw * cap)
+        return sal[keep], off[keep]
 
     # ------------------------------------------------------------------
     def process_video(self, video_path: str, query: str,

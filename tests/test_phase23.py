@@ -172,3 +172,54 @@ class TestAdvancedModeWiring:
                                  extract_clips=False)
         assert out["status"] == "completed"
         assert all(r["phase"] == "phase3_univtg" for r in out["results"])
+
+
+class TestGroundingLongVideo:
+    def test_forward_past_positional_table(self, tiny_stack):
+        """Videos longer than the head's max_frames (tiny config: 128)
+        must ground every frame via windowing — the pre-fix path
+        truncated to 128 and indexed out of range."""
+        p1, p2, p3 = tiny_stack
+        rng = np.random.default_rng(0)
+        n = 200   # > tiny max_frames=128
+        emb = rng.normal(size=(n, p1.engine.cfg.projection_dim))
+        emb = (emb / np.linalg.norm(emb, axis=1, keepdims=True)
+               ).astype(np.float32)
+        text = emb[0]
+        sal, off = p3._forward(emb, text)
+        assert sal.shape == (n,)
+        assert off.shape == (n, 2)
+        assert np.isfinite(sal).all()
+
+    def test_refine_long_video_candidates(self, tiny_stack):
+        """End-of-video candidates (index > max_frames) refine without
+        error and carry sane boundaries."""
+        p1, p2, p3 = tiny_stack
+        rng = np.random.default_rng(1)
+        n = 160
+        emb = rng.normal(size=(n, p1.engine.cfg.projection_dim)
+                         ).astype(np.float32)
+        ts = [float(i) for i in range(n)]
+        orig = p1.frame_embeddings
+        p1.frame_embeddings = lambda *a, **k: (emb, ts)
+        try:
+            cands = [{"timestamp": 150.0, "confidence": 0.9},
+                     {"timestamp": 5.0, "confidence": 0.8}]
+            out = p3.refine_candidates("fake.mp4", "q", cands,
+                                       video_id="long")
+        finally:
+            p1.frame_embeddings = orig
+        assert len(out) == 2
+        for r in out:
+            assert r["start_time"] <= r["timestamp"] <= r["end_time"] + 1e-6
+            assert 0.0 <= r["saliency"] <= 1.0
+
+    def test_bucketed_compiles(self, tiny_stack):
+        """Nearby frame counts share one power-of-two padded program."""
+        p1, p2, p3 = tiny_stack
+        rng = np.random.default_rng(2)
+        d = p1.engine.cfg.projection_dim
+        text = rng.normal(size=(d,)).astype(np.float32)
+        for n in (33, 40, 57, 64):   # all pad to the 64 bucket
+            p3._forward(rng.normal(size=(n, d)).astype(np.float32), text)
+        assert p3._fwd._cache_size() == 1
