@@ -131,6 +131,40 @@ class TestPersonService:
         assert out["summary"]["frames_processed"] == 8
         assert progress and progress[-1] == 1.0
 
+    def test_stop_event_mid_stream(self, engine, tiny_yolo, test_video):
+        """stop() during the streaming scan must terminate promptly with
+        partial results — and drain the decode worker threads rather
+        than leaving them blocked on their span queues."""
+        import threading
+
+        from avede_tpu.services.person_detector import (PersonDetector,
+                                                        PersonSearchService)
+
+        svc = PersonSearchService(
+            engine, detector=PersonDetector(engine, yolo=tiny_yolo))
+        ref = np.random.default_rng(1).integers(
+            0, 255, (96, 64, 3), dtype=np.uint8)
+
+        calls = []
+
+        def stop_after_first(frac):
+            calls.append(frac)
+            svc.stop()
+
+        before = {t.name for t in threading.enumerate()}
+        expected = svc.reader.expected_sample_count(test_video,
+                                                    sample_rate=2)
+        out = svc.process_video_for_person(
+            test_video, ref, similarity_threshold=-1.0, frame_skip=2,
+            batch_size=4, progress_callback=stop_after_first)
+        # decode drains fully (thread cleanup) even though processing
+        # stopped after the first batch
+        assert out["summary"]["frames_processed"] == expected
+        assert len(calls) == 1          # processing stopped after batch 1
+        # no decoder thread leaked past the call
+        leaked = {t.name for t in threading.enumerate()} - before
+        assert not {n for n in leaked if n.startswith("avede-decode")}
+
     def test_export_json_csv(self, engine, tiny_yolo, tmp_path):
         from avede_tpu.services.person_detector import (PersonDetector,
                                                         PersonSearchService)
