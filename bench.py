@@ -30,6 +30,19 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache (the same one tests use): a serving
+    # process compiles once at startup, and every timed section below
+    # warms up before measuring, so cached compiles change no measured
+    # number — they only stop 1-2 min/graph tunnel compiles from eating
+    # the child's budget and starving the later secondaries
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/avede_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
     from avede_tpu.models.clip import init_clip, vit_b32
     from avede_tpu.ops.preprocess import clip_preprocess
 
@@ -326,6 +339,7 @@ def _overlap_benefit(model, params, cfg) -> dict:
 
     return {"cold_e2e_p50_s_600frames": round(cold_p50, 3),
             "host_cores": len(_os.sched_getaffinity(0)),
+            "host_load_1m": round(_os.getloadavg()[0], 2),
             "cold_e2e_best_s_600frames": round(stream_best, 3),
             "sequential_s": round(seq_s, 3),
             "streaming_best_s": round(stream_best, 3),
@@ -403,8 +417,11 @@ def _advanced_p50(model, params, cfg) -> dict:
                              threshold=-1.0)
         times.append(time.perf_counter() - t0)
     warm_p50 = sorted(times)[len(times) // 2]
+    import os as _os
+
     return {"advanced_cold_p50_ms": round(cold_s * 1000, 1),
             "advanced_warm_p50_ms": round(warm_p50 * 1000, 1),
+            "host_load_1m": round(_os.getloadavg()[0], 2),
             "warm_runs": len(times),
             "first_compile_s": round(compile_s, 1),
             "note": "cold = decode+embed+caption+ground with compiled "
@@ -618,13 +635,42 @@ def _supervised() -> None:
                         carried.append(key)
                 if carried:
                     result["detail"]["carried_from_last_good"] = carried
+                # per-run history ledger: the measurement host is a
+                # shared container with >20x decode-throughput swings
+                # between runs; a single "latest" number for host-bound
+                # secondaries is meaningless without the run-to-run
+                # spread, so every fresh run appends its host-bound
+                # numbers + host load here and README claims cite the
+                # ledger, not one lucky (or starved) run
+                import os as _os2
+
+                d = result["detail"]
+                entry = {"measured_at": result["detail"]["measured_at"],
+                         "fps": result["value"],
+                         "host_load_1m": round(_os2.getloadavg()[0], 2)}
+                ce = d.get("cold_e2e")
+                if ce and "cold_e2e" not in carried:
+                    entry["cold_e2e_p50_s"] = \
+                        ce.get("cold_e2e_p50_s_600frames")
+                    entry["cold_e2e_best_s"] = \
+                        ce.get("cold_e2e_best_s_600frames")
+                    dd = ce.get("dedup_semi_static") or {}
+                    entry["dedup_wall_s"] = dd.get("wall_s")
+                adv = d.get("advanced_mode_p50_ms")
+                if adv and "advanced_mode_p50_ms" not in carried:
+                    entry["advanced_cold_ms"] = \
+                        adv.get("advanced_cold_p50_ms")
+                    entry["advanced_warm_ms"] = \
+                        adv.get("advanced_warm_p50_ms")
+                history = prev.get("detail", {}).get("history", [])
+                history = (history + [entry])[-12:]
+                result["detail"]["history"] = history
                 if result["value"] >= prev.get("value", 0):
                     cache.write_text(json.dumps(result, indent=1))
                 else:
                     # the primary didn't set a record, but freshly
                     # measured secondaries must not be lost to primary
                     # variance — merge them into the cached best
-                    merged = False
                     for key in ("yolov8n_detect_nms_fps", "cold_e2e",
                                 "cold_e2e_v5e8_projection_s",
                                 "library_search_p50_ms_1M_rows",
@@ -634,10 +680,10 @@ def _supervised() -> None:
                         if (val is not None and key not in carried
                                 and prev_detail.get(key) != val):
                             prev_detail[key] = val
-                            merged = True
-                    if merged:
-                        prev["detail"] = prev_detail
-                        cache.write_text(json.dumps(prev, indent=1))
+                    # the history ledger always advances
+                    prev_detail["history"] = history
+                    prev["detail"] = prev_detail
+                    cache.write_text(json.dumps(prev, indent=1))
                 print(json.dumps(result))
                 return
     if cache.exists():
