@@ -93,3 +93,62 @@ def window_topk_multi(frame_emb: jax.Array, valid: jax.Array,
     w_scores = jnp.where(w_valid[:, None], w_scores, -jnp.inf)
     k = min(k, w_scores.shape[0])
     return jax.lax.top_k(w_scores.T, k)
+
+
+def pad_table(emb, middle_idx, buckets):
+    """Pad a frame-embedding table and its window indices to bucket
+    sizes so the scoring program compiles once per bucket pair, not
+    once per distinct video length (serving sees arbitrary lengths;
+    through a tunneled chip every fresh compile costs minutes).
+
+    → (emb [Nb, D], valid [Nb] bool, middle_idx [Wb] int32 with -1
+    padding). Host-side numpy; cheap relative to any dispatch.
+    """
+    import numpy as np
+
+    def bucket(n):
+        for b in buckets:
+            if n <= b:
+                return b
+        return n
+
+    n, d = emb.shape
+    nb = bucket(n)
+    out = np.zeros((nb, d), emb.dtype)
+    out[:n] = emb
+    valid = np.zeros((nb,), bool)
+    valid[:n] = True
+    w = len(middle_idx)
+    wb = bucket(w)
+    mids = np.full((wb,), -1, np.int32)
+    mids[:w] = middle_idx
+    return out, valid, mids
+
+
+def make_query_window_topk(model):
+    """Fused serving program: token ids → text tower → unit-norm query
+    → score table → window gather → top-k, ONE dispatch (the unfused
+    path pays a host round-trip to materialize the text embedding
+    before a second round-trip for scoring; through the ~10 ms-RTT
+    tunneled chip that is a third of the warm-query latency).
+
+    Returns ``fn(params, ids [1, L], emb, valid, mids, k) →
+    (vals [k], idx [k], text_emb [D])`` — the text embedding comes back
+    too so the caller's per-text LRU cache stays warm.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(params, ids, frame_emb, valid, middle_idx, k):
+        q = model.apply({"params": params}, ids,
+                        method=model.encode_text)[0]
+        scores = jnp.dot(frame_emb, q.astype(frame_emb.dtype),
+                         preferred_element_type=jnp.float32)
+        scores = jnp.where(valid, scores, -jnp.inf)
+        w_valid = middle_idx >= 0
+        w_scores = scores[jnp.maximum(middle_idx, 0)]
+        w_scores = jnp.where(w_valid, w_scores, -jnp.inf)
+        kk = min(k, w_scores.shape[0])
+        vals, idx = jax.lax.top_k(w_scores, kk)
+        return vals, idx, q.astype(jnp.float32)
+
+    return run

@@ -285,6 +285,47 @@ class ClipEngine:
                             self._text_cache.popitem(last=False)
         return np.stack([hits[t] for t in texts])
 
+    def query_window_topk(self, query: str, emb: np.ndarray,
+                          middle_idx: np.ndarray, k: int
+                          ) -> "tuple[np.ndarray, np.ndarray]":
+        """Warm-query serving path in ONE dispatch: token ids → text
+        tower → score the whole table → window gather → top-k. The
+        unfused path (``embed_texts`` then ``window_topk``) pays two
+        host↔device round-trips; through the tunneled chip that is a
+        third of the measured warm-query p50. The table pads to
+        ``FRAME_BUCKETS`` so arbitrary video lengths reuse a handful of
+        compiled programs. The text embedding rides back in the same
+        dispatch to keep the per-text LRU cache warm for every other
+        consumer (phase-2 caption similarity, grounding)."""
+        from ..ops.similarity import pad_table
+
+        pemb, valid, pmids = pad_table(
+            np.asarray(emb, np.float32),
+            np.asarray(middle_idx, np.int32), settings.FRAME_BUCKETS)
+        fn = getattr(self, "_query_topk_fn", None)
+        if fn is None:
+            with self._lock:
+                fn = getattr(self, "_query_topk_fn", None)
+                if fn is None:
+                    from ..ops.similarity import make_query_window_topk
+
+                    fn = make_query_window_topk(self.model)
+                    self._query_topk_fn = fn
+        ids = self.tokenizer([query])
+        vals, idx, q = fn(self.params, jnp.asarray(ids),
+                          jnp.asarray(pemb), jnp.asarray(valid),
+                          jnp.asarray(pmids), k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        q = np.asarray(q, np.float32)
+        cap = settings.TEXT_EMBED_CACHE
+        if cap > 0:
+            with self._lock:
+                self._text_cache[query] = q
+                self._text_cache.move_to_end(query)
+                while len(self._text_cache) > cap:
+                    self._text_cache.popitem(last=False)
+        return vals, idx
+
     def embed_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
         """Convenience for reference images / crops of heterogeneous
         sizes: each is preprocessed independently (host-side resize to

@@ -135,12 +135,13 @@ class Phase1Scan:
             return ([], {}) if debug_mode else []
 
         with trace("phase1.score_topk"):
-            q = self.engine.embed_texts(query)[0]
+            # one fused dispatch: ids → text tower → scores → window
+            # top-k, table padded to FRAME_BUCKETS (compile-bounded);
+            # the text embedding lands in the engine's LRU in the same
+            # round-trip, so phase-2/3 text consumers hit the cache
             k = min(top_k, len(mids))
-            vals, idx = window_topk(
-                jnp.asarray(emb), jnp.ones((n,), bool), jnp.asarray(q),
-                jnp.asarray(mids.astype(np.int32)), k=k)
-            vals, idx = np.asarray(vals), np.asarray(idx)
+            vals, idx = self.engine.query_window_topk(
+                query, emb, mids.astype(np.int32), k)
 
         results = []
         for v, i in zip(vals, idx):
@@ -154,6 +155,9 @@ class Phase1Scan:
         logger.info("Phase 1: %d/%d windows above threshold %.2f for %r",
                     len(results), len(mids), threshold, query)
         if debug_mode:
+            # cache hit: the fused dispatch just stored this query's
+            # text embedding in the engine LRU
+            q = self.engine.embed_texts(query)[0]
             return results, self._debug_analysis(emb, q, mids, threshold)
         return results
 
@@ -177,11 +181,15 @@ class Phase1Scan:
             return {q: [] for q in queries}
         q_emb = self.engine.embed_texts(queries)          # [Q, D]
         with trace("phase1.score_topk"):
+            from ..ops.similarity import pad_table
+
             k = min(top_k, len(mids))
+            pemb, valid, pmids = pad_table(
+                np.asarray(emb, np.float32),
+                mids.astype(np.int32), settings.FRAME_BUCKETS)
             vals, idx = window_topk_multi(
-                jnp.asarray(emb), jnp.ones((len(emb),), bool),
-                jnp.asarray(q_emb), jnp.asarray(mids.astype(np.int32)),
-                k=k)
+                jnp.asarray(pemb), jnp.asarray(valid),
+                jnp.asarray(q_emb), jnp.asarray(pmids), k=k)
             vals, idx = np.asarray(vals), np.asarray(idx)
         out: Dict[str, List[Dict]] = {}
         for qi, query in enumerate(queries):
