@@ -88,6 +88,13 @@ class ClipEngine:
         # LRU text-embedding cache: serving repeats the same queries;
         # a hit skips tokenize + text-tower forward entirely
         self._text_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._query_topk_fn = None
+        # device-resident score tables (identity-keyed LRU): repeated
+        # warm queries against the same host embedding table must not
+        # re-upload it every time (1.2 MB/query ≈ 35 ms through the
+        # tunneled chip; the host cache returns the SAME array object
+        # for repeat queries, so identity is a sound key)
+        self._table_lru: "OrderedDict[int, tuple]" = OrderedDict()
 
     @property
     def model_tag(self) -> str:
@@ -299,13 +306,29 @@ class ClipEngine:
         consumer (phase-2 caption similarity, grounding)."""
         from ..ops.similarity import pad_table
 
-        pemb, valid, pmids = pad_table(
-            np.asarray(emb, np.float32),
-            np.asarray(middle_idx, np.int32), settings.FRAME_BUCKETS)
-        fn = getattr(self, "_query_topk_fn", None)
+        mids = np.asarray(middle_idx, np.int32)
+        dev = None
+        with self._lock:
+            for key, (href, hmids, cached) in self._table_lru.items():
+                if href is emb and np.array_equal(hmids, mids):
+                    dev = cached
+                    self._table_lru.move_to_end(key)
+                    break
+        if dev is None:
+            pemb, valid, pmids = pad_table(
+                np.asarray(emb, np.float32), mids,
+                settings.FRAME_BUCKETS)
+            dev = (jnp.asarray(pemb), jnp.asarray(valid),
+                   jnp.asarray(pmids))
+            with self._lock:
+                self._table_seq = getattr(self, "_table_seq", 0) + 1
+                self._table_lru[self._table_seq] = (emb, mids, dev)
+                while len(self._table_lru) > 8:
+                    self._table_lru.popitem(last=False)
+        fn = self._query_topk_fn
         if fn is None:
             with self._lock:
-                fn = getattr(self, "_query_topk_fn", None)
+                fn = self._query_topk_fn
                 if fn is None:
                     from ..ops.similarity import make_query_window_topk
 
@@ -313,8 +336,7 @@ class ClipEngine:
                     self._query_topk_fn = fn
         ids = self.tokenizer([query])
         vals, idx, q = fn(self.params, jnp.asarray(ids),
-                          jnp.asarray(pemb), jnp.asarray(valid),
-                          jnp.asarray(pmids), k)
+                          dev[0], dev[1], dev[2], k)
         vals, idx = np.asarray(vals), np.asarray(idx)
         q = np.asarray(q, np.float32)
         cap = settings.TEXT_EMBED_CACHE

@@ -72,3 +72,27 @@ class TestFusedQuery:
         q_again = engine.embed_texts("warm me")[0]
         np.testing.assert_allclose(cached, q_again, atol=1e-5)
         assert cached.shape == q_direct.shape
+
+    def test_device_table_lru(self, engine):
+        """Same host table object → one device upload; different mids
+        or a different table object → fresh entry."""
+        emb, mids = _table(engine, 32)
+        engine.query_window_topk("q1", emb, mids, 3)
+        engine.query_window_topk("q2", emb, mids, 3)
+        assert len(engine._table_lru) == 1
+        other_mids = mids[:-1]
+        engine.query_window_topk("q3", emb, other_mids, 3)
+        assert len(engine._table_lru) == 2
+        emb2, mids2 = _table(engine, 32, seed=9)
+        v_a, i_a = engine.query_window_topk("q1", emb2, mids2, 3)
+        assert len(engine._table_lru) == 3
+        # cached-table path returns the same scores as a fresh engine
+        from avede_tpu.models.clip import tiny_test_config
+        from avede_tpu.parallel.embed import ClipEngine
+        from avede_tpu.parallel.mesh import build_mesh
+
+        fresh = ClipEngine(cfg=tiny_test_config(),
+                           params=engine.params, mesh=build_mesh())
+        v_b, i_b = fresh.query_window_topk("q1", emb2, mids2, 3)
+        np.testing.assert_allclose(v_a, v_b, atol=1e-6)
+        np.testing.assert_array_equal(i_a, i_b)
