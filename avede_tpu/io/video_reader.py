@@ -169,13 +169,19 @@ class VideoReader:
         if workers is None or workers <= 0:
             workers = settings.DECODE_WORKERS
         if workers <= 0:
-            # auto: 8 spans. cv2 decode releases the GIL, so spans
-            # pipeline even when the container under-reports cores
-            # (this rig says cpu_count=1 yet scales to 8), and more
-            # spans = smaller first chunk = lower time-to-first-batch
-            # for the decode∥embed overlap. On-chip sweep: 8 workers
-            # 2.4-6 s vs 6-24 s at 1 for the 600-frame cold scan.
-            workers = 8
+            # auto: 8 spans minimum. cv2 decode releases the GIL, so
+            # spans pipeline even when the container under-reports
+            # cores (this rig says cpu_count=1 yet scales to 8), and
+            # more spans = smaller first chunk = lower time-to-first-
+            # batch for the decode∥embed overlap. On-chip sweep: 8
+            # workers 2.4-6 s vs 6-24 s at 1 for the 600-frame cold
+            # scan; >8 loses HERE (span queues contend on the starved
+            # host) but real TPU-VM hosts have 100-200 vCPUs where
+            # wider decode is the only way past the host-decode wall —
+            # scale with the visible cores, capped.
+            import os as _os
+
+            workers = max(8, min(32, (_os.cpu_count() or 1) // 4))
         # keep ≥32 frames per span: spans below that fragment the
         # embed batches for no decode win (device cost of partial
         # buckets is ~noise; thread startup isn't)
