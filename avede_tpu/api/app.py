@@ -584,6 +584,10 @@ def main(argv=None) -> None:
     parser.add_argument("--port", type=int, default=settings.API_PORT)
     args = parser.parse_args(argv)
     logger.info("Starting API on %s:%d", args.host, args.port)
+    from ..utils.platform import apply_platform_env, enable_compile_cache
+
+    apply_platform_env()
+    enable_compile_cache()   # supervisor restarts reuse XLA compiles
     from ..utils.system import ResourceMonitor, optimized_context
 
     monitor = ResourceMonitor().start()

@@ -32,6 +32,9 @@ class Settings(BaseModel):
 
     # --- Paths (layout mirrors reference data/ tree) ---
     DATA_DIR: str = "data"
+    XLA_CACHE_DIR: str = "data/xla_cache"   # persistent compiled-program
+    # cache: server restarts skip the minutes-long startup compile storm
+    # (147-324 s measured for the advanced pipeline); "" disables
     VIDEO_DIR: str = "data/videos"
     CLIP_DIR: str = "data/clips"
     FRAME_DIR: str = "data/frames"

@@ -33,6 +33,34 @@ def apply_platform_env() -> None:
     _APPLIED = True
 
 
+def enable_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at
+    ``settings.XLA_CACHE_DIR`` (empty disables).
+
+    Serving processes compile every jitted program at startup — through
+    a remote-attached chip that is minutes of wall clock (measured
+    147-324 s first-compile for the advanced pipeline alone), paid
+    again on every supervisor restart (``robust_server.py``). The
+    persistent cache makes restarts reuse prior compiles; numerics are
+    unaffected (the cache stores compiled executables keyed by program
+    + topology). Idempotent; call before the first computation.
+    """
+    from .config import settings
+
+    path = settings.XLA_CACHE_DIR
+    if not path:
+        return
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
 def compute_dtype() -> str:
     """Inference compute dtype for default-constructed model services.
 

@@ -20,7 +20,8 @@ import tempfile
 
 import numpy as np
 
-from avede_tpu.utils.platform import apply_platform_env
+from avede_tpu.utils.platform import (apply_platform_env,
+                                      enable_compile_cache)
 
 def make_subject(rng) -> np.ndarray:
     """A distinctive multi-part 'subject' (colored blob figure)."""
@@ -50,6 +51,7 @@ def place(subject: np.ndarray, background: np.ndarray,
 
 def main() -> None:
     apply_platform_env()
+    enable_compile_cache()
     import cv2
 
     from avede_tpu.models.clip import init_clip, tiny_test_config

@@ -30,7 +30,8 @@ from typing import Optional
 
 import numpy as np
 
-from avede_tpu.utils.platform import apply_platform_env
+from avede_tpu.utils.platform import (apply_platform_env,
+                                      enable_compile_cache)
 
 # ---------------------------------------------------------------------------
 # image-retrieval eval
@@ -1122,6 +1123,7 @@ def eval_background(seed: int = 0, steps: int = 400,
 
 def main() -> None:
     apply_platform_env()
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode",
                         choices=["image", "grounding", "text",

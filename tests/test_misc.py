@@ -147,3 +147,32 @@ class TestSyntheticPersonHelpers:
         a2, _ = identity_batch(ids, rng, crop_size=32, codec_aug=False,
                                box_jitter=0.0)
         assert a2.shape == (4, 32, 32, 3)
+
+
+class TestCompileCache:
+    def test_enable_compile_cache_sets_config(self, tmp_path,
+                                              monkeypatch):
+        import jax
+
+        from avede_tpu.utils.config import settings
+        from avede_tpu.utils.platform import enable_compile_cache
+
+        cache = tmp_path / "xla_cache"
+        monkeypatch.setattr(settings, "XLA_CACHE_DIR", str(cache))
+        enable_compile_cache()
+        assert cache.exists()
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        # restore the conftest-wide cache dir for later tests
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/avede_jax_cache")
+
+    def test_empty_dir_disables(self, monkeypatch):
+        import jax
+
+        from avede_tpu.utils.config import settings
+        from avede_tpu.utils.platform import enable_compile_cache
+
+        before = jax.config.jax_compilation_cache_dir
+        monkeypatch.setattr(settings, "XLA_CACHE_DIR", "")
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == before
