@@ -135,11 +135,15 @@ class Phase2Rerank:
 
         # query-independent reprs (BLIP captions / BLIP-2 image
         # features) come from the per-frame cache; only MISSING frames
-        # are read (one capture, K seeks) and run through the model.
-        # A warm rerank is therefore text-similarity only.
-        reprs = self._reprs(video_path, video_id,
-                            [c["timestamp"] for c in candidates])
-        cap_sim, aux = self.captioner.scores_from_repr(reprs, query)
+        # are read (scan retention first, container seeks as fallback)
+        # and run through the model. A warm rerank is therefore
+        # text-similarity only.
+        from ..utils.trace import trace
+
+        with trace("phase2.rerank"):
+            reprs = self._reprs(video_path, video_id,
+                                [c["timestamp"] for c in candidates])
+            cap_sim, aux = self.captioner.scores_from_repr(reprs, query)
 
         for c, extra, s in zip(candidates, aux, cap_sim):
             c.update(extra)

@@ -117,10 +117,13 @@ class Phase3Temporal:
                           video_id: Optional[str] = None) -> List[Dict]:
         """Reference interface
         (``univtg_model.py:196``): candidates → refined boundaries."""
+        from ..utils.trace import trace
+
         p1 = self.phase2.phase1
-        emb, ts = p1.frame_embeddings(video_path, video_id)
-        text = p1.engine.embed_texts(query)[0]
-        sal, off = self._forward(emb, text)
+        with trace("phase3.ground"):
+            emb, ts = p1.frame_embeddings(video_path, video_id)
+            text = p1.engine.embed_texts(query)[0]
+            sal, off = self._forward(emb, text)
         prob = 1.0 / (1.0 + np.exp(-np.clip(sal, -30, 30)))
         ts_arr = np.asarray(ts)
         dt = float(np.median(np.diff(ts_arr))) if len(ts_arr) > 1 else 1.0

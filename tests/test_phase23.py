@@ -223,3 +223,16 @@ class TestGroundingLongVideo:
         for n in (33, 40, 57, 64):   # all pad to the 64 bucket
             p3._forward(rng.normal(size=(n, d)).astype(np.float32), text)
         assert p3._fwd._cache_size() == 1
+
+
+def test_rerank_and_ground_spans_recorded(tiny_stack, test_video):
+    """The advanced path's phase-2 and phase-3 stages appear in the
+    metrics monitor alongside phase-1's spans (/api/metrics surface)."""
+    from avede_tpu.utils.metrics import get_monitor
+
+    p1, p2, p3 = tiny_stack
+    p3.process_video(test_video, "white square", top_k=3,
+                     threshold=-1.0, video_id="spantest")
+    ops = get_monitor().summary()["operations"]
+    assert "phase2.rerank" in ops
+    assert "phase3.ground" in ops
