@@ -181,15 +181,11 @@ class Phase1Scan:
             return {q: [] for q in queries}
         q_emb = self.engine.embed_texts(queries)          # [Q, D]
         with trace("phase1.score_topk"):
-            from ..ops.similarity import pad_table
-
             k = min(top_k, len(mids))
-            pemb, valid, pmids = pad_table(
-                np.asarray(emb, np.float32),
-                mids.astype(np.int32), settings.FRAME_BUCKETS)
+            demb, dvalid, dmids = self.engine.resident_table(
+                emb, mids.astype(np.int32))
             vals, idx = window_topk_multi(
-                jnp.asarray(pemb), jnp.asarray(valid),
-                jnp.asarray(q_emb), jnp.asarray(pmids), k=k)
+                demb, dvalid, jnp.asarray(q_emb), dmids, k=k)
             vals, idx = np.asarray(vals), np.asarray(idx)
         out: Dict[str, List[Dict]] = {}
         for qi, query in enumerate(queries):
