@@ -9,7 +9,8 @@ window's MIDDLE frame by CLIP cosine → top-k above
 TPU rebuild: all sampled frames are embedded in one sharded, jitted
 program (``parallel/embed.py``); windows are index arithmetic
 (``ops/windows.py``); scoring + top-k is a single fused XLA program
-(``ops/similarity.window_topk``). Embeddings persist in the versioned
+(``ClipEngine.query_window_topk`` — fused ids→text-tower→score→top-k
+on a device-resident table). Embeddings persist in the versioned
 cache so repeat queries skip decode AND embed entirely.
 """
 
@@ -24,7 +25,7 @@ from ..io.embedding_cache import EmbeddingCache
 from ..io.frame_retention import FrameRetention
 from ..io.video_reader import VideoReader
 from ..ops.dedup import FrameDeduper, rebatch
-from ..ops.similarity import window_topk, window_topk_multi
+from ..ops.similarity import window_topk_multi
 from ..ops.windows import window_middle_indices, window_timestamps
 from ..parallel.embed import ClipEngine, get_engine
 from ..utils.config import settings
