@@ -54,6 +54,20 @@ def api_client(tiny_clip, tmp_data_dirs):
     processor._background = BackgroundIndependentService(engine)
     processor._person = PersonSearchService(
         engine, detector=PersonDetector(engine, yolo=yolo))
+    from avede_tpu.models.blip import init_blip, tiny_blip_config
+    from avede_tpu.models.univtg import tiny_grounding_config
+    from avede_tpu.pipelines.phase2 import Phase2Rerank
+    from avede_tpu.pipelines.phase3 import Phase3Temporal
+    from avede_tpu.services.captioner import CaptionService
+
+    bcfg = tiny_blip_config()
+    _, bparams = init_blip(bcfg, seed=0)
+    p2 = Phase2Rerank(processor.phase1,
+                      captioner=CaptionService(engine, cfg=bcfg,
+                                               params=bparams))
+    processor._phase2 = p2
+    processor._phase3 = Phase3Temporal(p2, cfg=tiny_grounding_config(
+        input_dim=engine.cfg.projection_dim))
     app = create_app(processor)
 
     loop = asyncio.new_event_loop()
@@ -140,6 +154,38 @@ class TestUploadAndQuery:
         name = clips["clips"][0]["filename"]
         status, data = api_client.get(f"/api/download/{name}")
         assert status == 200 and len(data) > 0
+
+    def test_advanced_query_via_api(self, api_client, tmp_path):
+        """mode=advanced through the REST surface: phase-3 results with
+        captions and grounded boundaries; the repeat query is served
+        warm from caches (no error, same shape)."""
+        import aiohttp
+
+        from tests.conftest import make_test_video
+
+        video_file = str(tmp_path / "adv_api.mp4")
+        make_test_video(video_file, n_frames=40)
+        form = aiohttp.FormData()
+        form.add_field("file", open(video_file, "rb"),
+                       filename="adv_api.mp4", content_type="video/mp4")
+        status, body = api_client.post("/api/upload", data=form)
+        assert status == 200
+        vid = body["video_id"]
+
+        payload = {"video_id": vid, "query": "white square",
+                   "mode": "advanced", "threshold": -1.0,
+                   "extract_clips": False}
+        status, out = api_client.post("/api/query", json=payload)
+        assert status == 200 and out["status"] == "completed"
+        assert out["total_found"] > 0
+        for r in out["results"]:
+            assert r["phase"] == "phase3_univtg"
+            assert "caption" in r
+            assert r["start_time"] <= r["timestamp"] <= \
+                r["end_time"] + 1e-6
+        status, warm = api_client.post("/api/query", json=payload)
+        assert status == 200 and warm["status"] == "completed"
+        assert warm["total_found"] == out["total_found"]
 
     def test_query_unknown_video_404(self, api_client):
         status, body = api_client.post("/api/query", json={
