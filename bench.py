@@ -671,6 +671,21 @@ def _supervised() -> None:
                 history = prev.get("detail", {}).get("history", [])
                 history = (history + [entry])[-12:]
                 result["detail"]["history"] = history
+                # ready-made spread over the ledger: min/max/n per
+                # host-bound secondary, so a single artifact field
+                # answers "what does this cost on a quiet vs starved
+                # host" without re-deriving from history
+                spread = {}
+                for hk in ("cold_e2e_p50_s", "cold_e2e_best_s",
+                           "dedup_wall_s", "advanced_cold_ms",
+                           "advanced_warm_ms", "fps"):
+                    vals = [h[hk] for h in history
+                            if h.get(hk) is not None]
+                    if vals:
+                        spread[hk] = {"min": min(vals),
+                                      "max": max(vals),
+                                      "n": len(vals)}
+                result["detail"]["across_runs"] = spread
                 if result["value"] >= prev.get("value", 0):
                     cache.write_text(json.dumps(result, indent=1))
                 else:
@@ -688,6 +703,7 @@ def _supervised() -> None:
                             prev_detail[key] = val
                     # the history ledger always advances
                     prev_detail["history"] = history
+                    prev_detail["across_runs"] = spread
                     prev["detail"] = prev_detail
                     cache.write_text(json.dumps(prev, indent=1))
                 print(json.dumps(result))
