@@ -552,6 +552,20 @@ def create_app(processor=None) -> web.Application:
                           client_max_size=int(
                               settings.MAX_VIDEO_SIZE_GB * (1024 ** 3)))
     app["state"] = ApiState(processor)
+    if settings.LIBRARY_PREWARM:
+        # embed + index the existing library off the serving thread so
+        # the FIRST /api/search-library doesn't pay the whole build
+        import threading
+
+        def _prewarm(state=app["state"]):
+            try:
+                n = state.library.prewarm()
+                logger.info("Library prewarm: %d videos indexed", n)
+            except Exception as exc:  # noqa: BLE001 — best-effort
+                logger.warning("Library prewarm failed: %s", exc)
+
+        threading.Thread(target=_prewarm, daemon=True,
+                         name="avede-lib-prewarm").start()
     app.add_routes([
         web.get("/", root),
         web.get("/ui", builtin_ui),

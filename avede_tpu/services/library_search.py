@@ -49,6 +49,29 @@ class LibrarySearch:
     def _device_index(self):
         return self._index
 
+    def prewarm(self) -> int:
+        """Sync the device index with VIDEO_DIR: evict deleted videos,
+        embed-and-add any uncached ones. Every search does this
+        implicitly; serving processes can also call it at startup
+        (``settings.LIBRARY_PREWARM``) so the FIRST search doesn't pay
+        the whole library's embed/index-build. → videos indexed."""
+        index = self._index
+        n_videos = 0
+        listed = self.list_videos()
+        with self._populate_lock:
+            for vid in set(index.video_ids()) - set(listed):
+                index.remove(vid)   # deleted from VIDEO_DIR → evict
+            for vid in listed:
+                try:
+                    if not index.has(vid):
+                        path = self._resolve(vid)
+                        emb, ts = self.phase1.frame_embeddings(path, vid)
+                        index.add(vid, emb, ts)
+                    n_videos += 1
+                except Exception as exc:  # noqa: BLE001 — skip bad
+                    logger.warning("library: skipping %s (%s)", vid, exc)
+        return n_videos
+
     def invalidate(self, video_id: str) -> None:
         """Drop a video from the device index (uploads mint fresh
         UUIDs, so this only matters if an id is ever re-encoded)."""
@@ -135,20 +158,7 @@ class LibrarySearch:
         (rare) whenever capping starved the result below ``top_k``
         while candidates remained."""
         index = self._device_index()
-        n_videos = 0
-        listed = self.list_videos()
-        with self._populate_lock:
-            for vid in set(index.video_ids()) - set(listed):
-                index.remove(vid)   # deleted from VIDEO_DIR → evict
-            for vid in listed:
-                try:
-                    if not index.has(vid):
-                        path = self._resolve(vid)
-                        emb, ts = self.phase1.frame_embeddings(path, vid)
-                        index.add(vid, emb, ts)
-                    n_videos += 1
-                except Exception as exc:  # noqa: BLE001 — skip bad
-                    logger.warning("library: skipping %s (%s)", vid, exc)
+        n_videos = self.prewarm()
         if index.n_rows == 0:
             return {"results": [], "total_found": 0,
                     "metadata": {"videos_searched": 0,

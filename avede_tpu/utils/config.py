@@ -107,6 +107,10 @@ class Settings(BaseModel):
     # rows at add time — lossless (the scan's FrameDeduper scatter
     # repeats the exact embedding per duplicate frame), so static
     # surveillance footage stores one row per run instead of per frame
+    LIBRARY_PREWARM: bool = False   # serving startup embeds + indexes
+    # the existing video library on a background thread so the first
+    # /api/search-library is warm (off by default: tests and one-shot
+    # CLIs shouldn't spin a thread that touches every video)
     LIBRARY_INDEX_ENABLED: bool = True  # device index behind
     # /api/search-library (falls back to per-table host scoring when
     # off or when a video_ids subset is requested)

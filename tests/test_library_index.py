@@ -429,3 +429,48 @@ class TestIndexedLibrarySearch:
             per_vid[r["video_id"]] = per_vid.get(r["video_id"], 0) + 1
         assert per_vid["hot"] == 3
         assert per_vid.get("cold", 0) == 3
+
+
+class TestPrewarm:
+    def test_prewarm_populates_before_first_search(self, tmp_data_dirs,
+                                                   monkeypatch):
+        """prewarm() embeds + indexes the library so the first search
+        does no population work (the LIBRARY_PREWARM serving path)."""
+        import cv2
+
+        from avede_tpu.models.clip import tiny_test_config
+        from avede_tpu.parallel.embed import ClipEngine
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+        from avede_tpu.services.library_search import LibrarySearch
+        from avede_tpu.utils.config import settings
+
+        rng = np.random.default_rng(3)
+        for name in ("pw1", "pw2"):
+            path = str(tmp_data_dirs / "videos" / f"{name}.mp4")
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                8.0, (64, 64))
+            for _ in range(16):
+                w.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+            w.release()
+        monkeypatch.setattr(settings, "LIBRARY_INDEX_ENABLED", True)
+        engine = ClipEngine(cfg=tiny_test_config())
+        phase1 = Phase1Scan(engine)
+        search = LibrarySearch(phase1)
+
+        assert search.prewarm() == 2
+        rows_after_prewarm = search._index.n_rows
+        assert rows_after_prewarm > 0
+
+        # first search must not embed anything new
+        calls = {"n": 0}
+        orig = phase1.frame_embeddings
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        phase1.frame_embeddings = counting
+        out = search.search("anything", top_k=4, threshold=-1.0)
+        assert out["results"]
+        assert calls["n"] == 0
+        assert search._index.n_rows == rows_after_prewarm
