@@ -597,7 +597,11 @@ def _supervised() -> None:
     import sys
     from pathlib import Path
 
-    cache = Path(__file__).resolve().parent / LAST_GOOD
+    import os as _osc
+
+    cache = Path(_osc.environ.get(
+        "AVEDE_BENCH_CACHE",
+        Path(__file__).resolve().parent / LAST_GOOD))
     for attempt in (1, 2):
         try:
             import os as _os

@@ -1,0 +1,113 @@
+"""The bench's supervised runner guards the driver artifact: last-good
+caching, secondary carry-forward, ledger history, and the stale path.
+These tests fake the measurement child so the logic runs in-process."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _fresh(value, cold_p50=3.0, adv_warm=200.0):
+    return {"metric": "clip_scan_frames_per_sec_per_chip",
+            "value": value, "unit": "frames/sec",
+            "vs_baseline": round(value / 30.0, 2),
+            "detail": {
+                "warm_query_p50_ms_600frames": 30.0,
+                "yolov8n_detect_nms_fps": 1500.0,
+                "cold_e2e": {
+                    "cold_e2e_p50_s_600frames": cold_p50,
+                    "cold_e2e_best_s_600frames": cold_p50 - 0.5,
+                    "dedup_semi_static": {"wall_s": 1.5},
+                },
+                "advanced_mode_p50_ms": {
+                    "advanced_cold_p50_ms": 5000.0,
+                    "advanced_warm_p50_ms": adv_warm,
+                },
+            }}
+
+
+class _Proc:
+    def __init__(self, payload):
+        self.stdout = "noise\n" + json.dumps(payload) + "\n"
+        self.returncode = 0
+
+
+@pytest.fixture()
+def run_supervised(tmp_path, monkeypatch, capsys):
+    import bench
+
+    cache = tmp_path / "last_good.json"
+    monkeypatch.setenv("AVEDE_BENCH_CACHE", str(cache))
+
+    def run(payload_or_exc):
+        def fake_run(*a, **k):
+            if isinstance(payload_or_exc, Exception):
+                raise payload_or_exc
+            return _Proc(payload_or_exc)
+
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        bench._supervised()
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return json.loads(out), cache
+
+    return run
+
+
+class TestSupervised:
+    def test_record_run_writes_cache_and_history(self, run_supervised):
+        out, cache = run_supervised(_fresh(9000.0))
+        assert out["value"] == 9000.0
+        cached = json.loads(cache.read_text())
+        assert cached["value"] == 9000.0
+        hist = cached["detail"]["history"]
+        assert len(hist) == 1 and hist[0]["fps"] == 9000.0
+        assert hist[0]["cold_e2e_p50_s"] == 3.0
+        assert "across_runs" in cached["detail"]
+
+    def test_non_record_merges_secondaries_keeps_best_primary(
+            self, run_supervised):
+        run_supervised(_fresh(9000.0, cold_p50=3.0))
+        out, cache = run_supervised(_fresh(8500.0, cold_p50=2.0,
+                                           adv_warm=180.0))
+        assert out["value"] == 8500.0           # fresh run reported
+        cached = json.loads(cache.read_text())
+        assert cached["value"] == 9000.0        # best primary kept
+        ce = cached["detail"]["cold_e2e"]
+        assert ce["cold_e2e_p50_s_600frames"] == 2.0   # fresh merged
+        hist = cached["detail"]["history"]
+        assert [h["fps"] for h in hist] == [9000.0, 8500.0]
+        spread = cached["detail"]["across_runs"]
+        assert spread["cold_e2e_p50_s"] == {"min": 2.0, "max": 3.0,
+                                            "n": 2}
+        assert spread["advanced_warm_ms"]["min"] == 180.0
+
+    def test_missing_secondary_carried_forward(self, run_supervised):
+        run_supervised(_fresh(9000.0))
+        crippled = _fresh(9100.0)
+        crippled["detail"]["cold_e2e"] = None
+        out, cache = run_supervised(crippled)
+        assert out["detail"]["cold_e2e"][
+            "cold_e2e_p50_s_600frames"] == 3.0
+        assert "cold_e2e" in out["detail"]["carried_from_last_good"]
+        # carried values must NOT mint a fake history point
+        hist = json.loads(cache.read_text())["detail"]["history"]
+        assert "cold_e2e_p50_s" not in hist[-1]
+
+    def test_wedged_tunnel_reports_stale_last_good(self, run_supervised):
+        run_supervised(_fresh(9000.0))
+        out, _ = run_supervised(
+            subprocess.TimeoutExpired(cmd="bench", timeout=1))
+        assert out["value"] == 9000.0
+        assert out["detail"]["stale"] is True
+        assert "stale_reason" in out["detail"]
+
+    def test_wedged_with_no_cache_reports_zero(self, run_supervised):
+        out, _ = run_supervised(
+            subprocess.TimeoutExpired(cmd="bench", timeout=1))
+        assert out["value"] == 0.0
+        assert "error" in out["detail"]
