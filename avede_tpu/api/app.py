@@ -38,18 +38,30 @@ logger = get_logger(__name__)
 
 
 class ApiState:
-    """Lazily-built processor shared by handlers."""
+    """Lazily-built processor shared by handlers.
+
+    Lazy init is double-checked under a lock: the LIBRARY_PREWARM
+    daemon thread touches ``state.library`` concurrently with the first
+    request handlers, and VideoProcessor construction takes seconds —
+    an unlocked check-then-set raced a second full model stack into
+    existence, orphaning the prewarmed device index (round-3 advisor,
+    medium)."""
 
     def __init__(self, processor=None) -> None:
+        import threading
+
         self._processor = processor
         self._library = None
+        self._lock = threading.Lock()
 
     @property
     def processor(self):
         if self._processor is None:
-            from ..services.video_processor import VideoProcessor
+            with self._lock:
+                if self._processor is None:
+                    from ..services.video_processor import VideoProcessor
 
-            self._processor = VideoProcessor()
+                    self._processor = VideoProcessor()
         return self._processor
 
     @property
@@ -59,9 +71,12 @@ class ApiState:
         requests: a per-request instance would rebuild the whole table
         on every POST /api/search-library."""
         if self._library is None:
-            from ..services.library_search import LibrarySearch
+            processor = self.processor   # resolve OUTSIDE our lock
+            with self._lock:
+                if self._library is None:
+                    from ..services.library_search import LibrarySearch
 
-            self._library = LibrarySearch(self.processor.phase1)
+                    self._library = LibrarySearch(processor.phase1)
         return self._library
 
 

@@ -109,6 +109,22 @@ class FrameRetention:
                     out[ts_key(t)] = self._chunks[ci][row]
             return out
 
+    def release(self, video_id: Optional[str] = None) -> None:
+        """Drop retained frames (end-of-request hook): retention exists
+        to serve the scan→rerank pattern WITHIN one request; holding up
+        to ``FRAME_RETAIN_MB`` of decoded frames until the next cold
+        scan idled alongside the embedding cache on memory-constrained
+        hosts (round-3 advisor). With ``video_id`` the release is
+        conditional (no-op if another video started retaining since)."""
+        with self._lock:
+            if video_id is not None and self._vid != video_id:
+                return
+            self._vid = None
+            self._chunks = []
+            self._index = {}
+            self._bytes = 0
+            self._over = False
+
     @property
     def retained_bytes(self) -> int:
         with self._lock:

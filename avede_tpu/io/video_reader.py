@@ -145,6 +145,12 @@ class VideoReader:
         ``get_batch`` plays in the reference,
         ``frame_extractor.py:38-114``). Chunks arrive in order; span
         queues are bounded so memory stays ≈ workers × queue × chunk.
+
+        Abandoning the generator (``break`` / ``close()``) cancels the
+        decode threads promptly: producers re-check a cancel flag while
+        blocked on their bounded queues, so a consumer-side ``stop()``
+        (e.g. ``PersonSearchService.stop``) costs ~0.1 s, not the
+        remaining decode wall.
         """
         import queue as _queue
         import threading
@@ -187,6 +193,20 @@ class VideoReader:
         # buckets is ~noise; thread startup isn't)
         workers = max(1, min(workers, len(idxs) // 32 or 1))
 
+        cancel = threading.Event()
+
+        def safe_put(out_q, item) -> bool:
+            """Bounded put that never wedges a producer: re-checks the
+            cancel flag while the queue is full so an abandoned
+            consumer releases every decode thread within ~0.1 s."""
+            while not cancel.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
         def decode_span(span: List[int], out_q):
             """Decode one contiguous span of sampled indices into
             chunk-sized (frames, timestamps) tuples on ``out_q``.
@@ -198,18 +218,20 @@ class VideoReader:
             — measured ~2 s of a 600-frame cold scan on this host."""
             cap = cv2.VideoCapture(str(path))
             if not cap.isOpened():
-                out_q.put(VideoDecodeError(f"cannot open video: {path}"))
+                safe_put(out_q, VideoDecodeError(
+                    f"cannot open video: {path}"))
                 return
             cap_chunk = min(chunk, len(span))
             buf = np.empty((cap_chunk, th, tw, 3), np.uint8)
             fill = 0
             buf_ts: List[float] = []
 
-            def flush():
+            def flush() -> bool:
                 nonlocal buf, fill, buf_ts
-                out_q.put((buf[:fill], list(buf_ts)))
+                ok = safe_put(out_q, (buf[:fill], list(buf_ts)))
                 buf = np.empty((cap_chunk, th, tw, 3), np.uint8)
                 fill, buf_ts = 0, []
+                return ok
 
             try:
                 if dense:
@@ -218,7 +240,7 @@ class VideoReader:
                         cap.set(cv2.CAP_PROP_POS_FRAMES, pos)
                     want = set(span)
                     last = span[-1]
-                    while pos <= last:
+                    while pos <= last and not cancel.is_set():
                         if pos in want:
                             ok, frame = cap.read()
                             if not ok:
@@ -226,8 +248,8 @@ class VideoReader:
                             self._convert_into(frame, buf[fill])
                             buf_ts.append(float(pos) / meta.fps)
                             fill += 1
-                            if fill >= cap_chunk:
-                                flush()
+                            if fill >= cap_chunk and not flush():
+                                break
                         elif not cap.grab():
                             # grab() advances the decoder without the
                             # BGR retrieve/copy — skipped frames cost
@@ -236,6 +258,8 @@ class VideoReader:
                         pos += 1
                 else:
                     for idx in span:
+                        if cancel.is_set():
+                            break
                         cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
                         ok, frame = cap.read()
                         if not ok:
@@ -243,15 +267,15 @@ class VideoReader:
                         self._convert_into(frame, buf[fill])
                         buf_ts.append(float(idx) / meta.fps)
                         fill += 1
-                        if fill >= cap_chunk:
-                            flush()
+                        if fill >= cap_chunk and not flush():
+                            break
                 if fill:
                     flush()
             except Exception as exc:  # noqa: BLE001 — surface on consumer
-                out_q.put(exc)
+                safe_put(out_q, exc)
             finally:
                 cap.release()
-                out_q.put(None)
+                safe_put(out_q, None)
 
         spans = [list(s) for s in np.array_split(np.asarray(idxs), workers)
                  if len(s)]
@@ -262,15 +286,27 @@ class VideoReader:
         for t in threads:
             t.start()
         total = 0
-        for q in queues:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, Exception):
-                    raise item
-                total += len(item[0])
-                yield item
+        try:
+            for q in queues:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, Exception):
+                        raise item
+                    total += len(item[0])
+                    yield item
+        finally:
+            # normal exhaustion OR abandonment (break / close()): flag
+            # producers and drain their bounded queues so every decode
+            # thread unblocks and exits promptly
+            cancel.set()
+            for q in queues:
+                while True:
+                    try:
+                        q.get_nowait()
+                    except _queue.Empty:
+                        break
 
         if total == 0:
             raise VideoDecodeError(f"decoded zero frames from {path}")

@@ -80,19 +80,25 @@ class Phase3Temporal:
         cap = min(capmax, max(8, 1 << (n - 1).bit_length() if n > 1
                               else 8))
         nw = (n + cap - 1) // cap
-        padded = np.zeros((nw, cap, d), np.float32)
-        valid = np.zeros((nw, cap), bool)
+        # window count pads to a power-of-two bucket too: without it
+        # every distinct nw (one per >max_frames video length class)
+        # compiled a fresh program — minutes each through the tunneled
+        # chip (round-3 advisor). all-False windows are masked out by
+        # ``valid`` inside the head.
+        nwb = 1 << max(nw - 1, 0).bit_length()
+        padded = np.zeros((nwb, cap, d), np.float32)
+        valid = np.zeros((nwb, cap), bool)
         for b in range(nw):
             lo = b * cap
             m = min(cap, n - lo)
             padded[b, :m] = emb[lo:lo + m]
             valid[b, :m] = True
-        text_b = np.broadcast_to(text, (nw,) + text.shape)
+        text_b = np.broadcast_to(text, (nwb,) + text.shape)
         sal, off = self._fwd(self.params, jnp.asarray(padded),
                              jnp.asarray(text_b), jnp.asarray(valid))
-        sal = np.asarray(sal).reshape(nw * cap)[:]
-        off = np.asarray(off).reshape(nw * cap, -1)
-        keep = valid.reshape(nw * cap)
+        sal = np.asarray(sal).reshape(nwb * cap)[:]
+        off = np.asarray(off).reshape(nwb * cap, -1)
+        keep = valid.reshape(nwb * cap)
         return sal[keep], off[keep]
 
     # ------------------------------------------------------------------

@@ -439,17 +439,17 @@ class PersonSearchService:
         uniq: List[Tuple[List, bool]] = []
         chunks: List[np.ndarray] = []
         timestamps: List[float] = []
-        stopped = False
         for raw, ts in self.reader.stream_batches(video_path, batch,
                                                   sample_rate=skip):
             chunks.append(raw)
             timestamps.extend(ts)
-            if stopped:
-                continue     # drain decode threads without processing
             if self.stop_event.is_set():
+                # break is prompt: stream_frames cancels its decode
+                # threads when the generator is abandoned (the bounded
+                # span queues re-check a cancel flag), so stop() costs
+                # ~0.1 s, not the remaining decode wall
                 logger.info("Person search stopped by request")
-                stopped = True
-                continue
+                break
             fb = deduper.filter(raw) if deduper is not None else raw
             if len(fb):
                 dets_per_frame = self.detector.detect_persons(fb)

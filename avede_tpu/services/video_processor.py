@@ -180,6 +180,12 @@ class VideoProcessor:
         except Exception as exc:  # noqa: BLE001 — envelope per reference
             error_log.record(exc, component="process_query")
             return error_envelope(task_id, exc)
+        finally:
+            # request-scope retention: the scan→rerank reuse this store
+            # exists for is over when the request returns; holding the
+            # frames until the next cold scan wasted FRAME_RETAIN_MB of
+            # host memory (round-3 advisor)
+            self.phase1.retention.release()
 
     def _attach_clips(self, video_path: str,
                       results: List[Dict]) -> List[Dict]:
