@@ -51,6 +51,7 @@ class FrameRetention:
         self._budget_mb = budget_mb
         self._lock = threading.Lock()
         self._vid: Optional[str] = None
+        self._color = "rgb"
         self._chunks: List[np.ndarray] = []
         self._index: Dict[int, Tuple[int, int]] = {}   # key → (chunk, row)
         self._bytes = 0
@@ -62,9 +63,15 @@ class FrameRetention:
               else self._budget_mb)
         return max(int(mb), 0) * (1 << 20)
 
-    def begin(self, video_id: str) -> None:
+    def begin(self, video_id: str, color: str = "rgb") -> None:
+        """``color="bgr"`` marks the retained chunks as decoder-native
+        BGR (the fused-pack scan path skips the per-frame BGR→RGB
+        pass); ``lookup`` converts the K requested candidates back to
+        RGB on access, so consumers always see RGB at identical pixel
+        values."""
         with self._lock:
             self._vid = video_id
+            self._color = color
             self._chunks = []
             self._index = {}
             self._bytes = 0
@@ -97,16 +104,23 @@ class FrameRetention:
 
     def lookup(self, video_id: str, timestamps: Sequence[float]
                ) -> Dict[int, np.ndarray]:
-        """→ {ts_key: frame} for every requested timestamp retained."""
+        """→ {ts_key: frame} (RGB) for every requested timestamp
+        retained. BGR-retained stores convert only the K requested
+        frames — a per-candidate channel-swap copy, not a per-scan
+        pass."""
         with self._lock:
             if self._vid != video_id or self._over:
                 return {}
+            swap = getattr(self, "_color", "rgb") == "bgr"
             out = {}
             for t in timestamps:
                 hit = self._index.get(ts_key(t))
                 if hit is not None:
                     ci, row = hit
-                    out[ts_key(t)] = self._chunks[ci][row]
+                    frame = self._chunks[ci][row]
+                    if swap:
+                        frame = np.ascontiguousarray(frame[..., ::-1])
+                    out[ts_key(t)] = frame
             return out
 
     def release(self, video_id: Optional[str] = None) -> None:

@@ -131,7 +131,8 @@ class VideoReader:
     def stream_frames(self, path: str, chunk: int = 256,
                       sample_rate: Optional[int] = None,
                       max_frames: Optional[int] = None,
-                      workers: Optional[int] = None):
+                      workers: Optional[int] = None,
+                      finish=None):
         """Generator of (uint8 [c, H, W, 3] RGB, timestamps) chunks,
         yielded AS the video decodes — the host side of the
         decode↔embed overlap (``ClipEngine.embed_stream`` consumes this
@@ -151,6 +152,15 @@ class VideoReader:
         blocked on their bounded queues, so a consumer-side ``stop()``
         (e.g. ``PersonSearchService.stop``) costs ~0.1 s, not the
         remaining decode wall.
+
+        ``finish(bgr_chunk, timestamps) -> array`` is an optional
+        per-chunk hook that runs ON the decode threads, receiving
+        decoder-native BGR frames (the per-frame BGR→RGB pass is
+        skipped) and returning the array to yield. The scan path uses
+        it to run the compact-transfer i420 pack N-way parallel on the
+        decode threads instead of serialized on the single prefetch
+        thread (and to retain the BGR chunk for the reranker) — see
+        ``Phase1Scan.frame_embeddings``. The hook must be thread-safe.
         """
         import queue as _queue
         import threading
@@ -194,6 +204,10 @@ class VideoReader:
         workers = max(1, min(workers, len(idxs) // 32 or 1))
 
         cancel = threading.Event()
+        # with a finish hook the chunk stays decoder-native BGR (the
+        # hook's pack matrix absorbs the channel swap for free)
+        convert_into = (self._resize_into if finish is not None
+                        else self._convert_into)
 
         def safe_put(out_q, item) -> bool:
             """Bounded put that never wedges a producer: re-checks the
@@ -228,7 +242,14 @@ class VideoReader:
 
             def flush() -> bool:
                 nonlocal buf, fill, buf_ts
-                ok = safe_put(out_q, (buf[:fill], list(buf_ts)))
+                ts_list = list(buf_ts)
+                part = buf[:fill]
+                if finish is not None:
+                    # hook runs HERE, on the decode thread: pack /
+                    # retain work parallelizes across spans instead of
+                    # serializing on the consumer or prefetch thread
+                    part = finish(part, ts_list)
+                ok = safe_put(out_q, (part, ts_list))
                 buf = np.empty((cap_chunk, th, tw, 3), np.uint8)
                 fill, buf_ts = 0, []
                 return ok
@@ -245,7 +266,7 @@ class VideoReader:
                             ok, frame = cap.read()
                             if not ok:
                                 break
-                            self._convert_into(frame, buf[fill])
+                            convert_into(frame, buf[fill])
                             buf_ts.append(float(pos) / meta.fps)
                             fill += 1
                             if fill >= cap_chunk and not flush():
@@ -264,7 +285,7 @@ class VideoReader:
                         ok, frame = cap.read()
                         if not ok:
                             break
-                        self._convert_into(frame, buf[fill])
+                        convert_into(frame, buf[fill])
                         buf_ts.append(float(idx) / meta.fps)
                         fill += 1
                         if fill >= cap_chunk and not flush():
@@ -378,6 +399,21 @@ class VideoReader:
             frame_bgr = cv2.resize(frame_bgr, (tw, th),
                                    interpolation=cv2.INTER_AREA)
         cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB, dst=out)
+
+    @staticmethod
+    def _resize_into(frame_bgr: np.ndarray, out: np.ndarray) -> None:
+        """Resize straight into ``out`` keeping decoder-native BGR —
+        the per-frame color pass is deleted when a ``finish`` hook
+        absorbs the channel order downstream (i420 pack matrix /
+        retention's lookup-time conversion)."""
+        import cv2
+
+        th, tw = out.shape[:2]
+        if frame_bgr.shape[1] != tw or frame_bgr.shape[0] != th:
+            cv2.resize(frame_bgr, (tw, th), dst=out,
+                       interpolation=cv2.INTER_AREA)
+        else:
+            np.copyto(out, frame_bgr)
 
     def read_frames_at(self, path: str, timestamps: List[float],
                        return_ok: bool = False):

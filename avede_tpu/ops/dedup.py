@@ -31,16 +31,22 @@ def frame_signature(frame: np.ndarray) -> np.ndarray:
 
 
 def _signatures(frames: np.ndarray) -> np.ndarray:
-    """uint8 [N, H, W, 3] → float32 [N, 16, 16], vectorized and cheap:
-    strided subsample to ≤2×SIG grid + channel mean first (≈50× less
-    work than full-res cvtColor/INTER_AREA — the gate must cost far
-    less than the ViT it skips), then one small resize per frame."""
+    """uint8 [N, H, W, 3] (color) or [N, H, W] (gray/luma) → float32
+    [N, 16, 16], vectorized and cheap: strided subsample to ≤2×SIG
+    grid + channel mean first (≈50× less work than full-res
+    cvtColor/INTER_AREA — the gate must cost far less than the ViT it
+    skips), then one small resize per frame. The gray path serves the
+    fused-pack scan, which gates on the i420 luma plane."""
     import cv2
 
     n, h, w = frames.shape[:3]
     sh = max(1, h // (2 * SIG_SIZE))
     sw = max(1, w // (2 * SIG_SIZE))
-    small = frames[:, ::sh, ::sw].mean(axis=3, dtype=np.float32)
+    small = frames[:, ::sh, ::sw]
+    if frames.ndim == 4:
+        small = small.mean(axis=3, dtype=np.float32)
+    else:
+        small = small.astype(np.float32)
     out = np.empty((n, SIG_SIZE, SIG_SIZE), np.float32)
     for i in range(n):
         out[i] = cv2.resize(small[i], (SIG_SIZE, SIG_SIZE),
@@ -57,16 +63,20 @@ class FrameDeduper:
     the full-length embedding table.
     """
 
-    def __init__(self, eps: float) -> None:
+    def __init__(self, eps: float, signature_fn=None) -> None:
         self.eps = float(eps)
         self.mapping: List[int] = []
         self._prev_sig: Optional[np.ndarray] = None
         self._n_unique = 0
+        # custom signature extractor: the fused-pack scan feeds PACKED
+        # i420 chunks [N, S*3/2, S]; its gate signatures come from the
+        # luma plane (frames[:, :S]) while filter() keeps full frames
+        self._signature_fn = signature_fn or _signatures
 
     def filter(self, frames: np.ndarray) -> np.ndarray:
         if len(frames) == 0:
             return frames
-        sigs = _signatures(frames)
+        sigs = self._signature_fn(frames)
         keep = []
         for i in range(len(frames)):
             is_dup = (self._prev_sig is not None

@@ -114,8 +114,15 @@ _YUV_W = np.array([[0.299, 0.587, 0.114],
                    [0.5, -0.418688, -0.081312]], np.float32)
 
 
-def pack_frames_i420(frames: np.ndarray, size: int) -> np.ndarray:
+def pack_frames_i420(frames: np.ndarray, size: int,
+                     src: str = "rgb") -> np.ndarray:
     """uint8 RGB [N, H, W, 3] → packed I420 uint8 [N, size*3//2, size].
+
+    ``src="bgr"`` accepts decoder-native BGR chunks and folds the
+    channel swap into the color matrix (columns reordered) — EXACTLY
+    the same output bytes as the RGB path, with the decode thread's
+    per-frame BGR→RGB pass deleted (crop/resize are per-channel ops, so
+    they commute with channel order).
 
     Host side of the compact transfer: central square crop + resize to
     the model geometry (cv2 INTER_AREA — the antialiased downscale,
@@ -134,8 +141,9 @@ def pack_frames_i420(frames: np.ndarray, size: int) -> np.ndarray:
     # CLIPS saturated reds/blues, hence the explicit matrix). The
     # earlier float-numpy formulation cost ~6.5 ms/frame in chunk-sized
     # float32 allocations; this is ~0.6 ms/frame.
-    m = np.hstack([_YUV_W, np.array([[0.0], [128.0], [128.0]],
-                                    np.float32)])
+    w = _YUV_W if src == "rgb" else _YUV_W[:, ::-1]
+    m = np.hstack([w, np.array([[0.0], [128.0], [128.0]],
+                               np.float32)])
     yuv = cv2.transform(small.reshape(n * size, size, 3), m).reshape(
         n, size, size, 3)
     out = np.empty((n, size * 3 // 2, size), np.uint8)

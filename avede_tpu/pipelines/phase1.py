@@ -25,6 +25,7 @@ from ..io.embedding_cache import EmbeddingCache
 from ..io.frame_retention import FrameRetention
 from ..io.video_reader import VideoReader
 from ..ops.dedup import FrameDeduper, rebatch
+from ..ops.dedup import _signatures as _dedup_sigs
 from ..ops.similarity import window_topk_multi
 from ..ops.windows import window_middle_indices, window_timestamps
 from ..parallel.embed import ClipEngine, get_engine
@@ -76,18 +77,48 @@ class Phase1Scan:
                 return hit
         ts: List[float] = []
         shape: List[Tuple[int, int]] = []
-        deduper = FrameDeduper(eps) if eps > 0 else None
-        self.retention.begin(vid)
+        # fused pack: the compact-transfer i420 pack runs ON the decode
+        # threads (N-way parallel) instead of serialized on the single
+        # prefetch thread, and the decoder's per-frame BGR→RGB pass is
+        # deleted — the pack matrix absorbs the channel order for
+        # byte-identical output (``pack_frames_i420(src="bgr")``), so
+        # embeddings and cache tags are unchanged. Retention keeps the
+        # BGR scan-geometry chunks; lookup converts the K rerank
+        # candidates back to RGB at identical pixel values.
+        size = self.engine.cfg.image_size
+        fused = (settings.SCAN_FUSED_PACK
+                 and settings.SCAN_TRANSFER == "i420"
+                 and size % 4 == 0)
+        finish = None
+        if fused:
+            from ..ops.preprocess import pack_frames_i420
+
+            def finish(bgr, chunk_ts):   # runs on decode threads
+                if not shape:
+                    shape.append(bgr.shape[1:3])
+                # retain pre-dedup (the reranker needs frames the scan
+                # skipped as duplicates too); zero-copy chunk reference
+                self.retention.add(vid, bgr, chunk_ts)
+                return pack_frames_i420(bgr, size, src="bgr")
+
+            # gate signatures on the packed luma plane (the chroma
+            # rows would dilute the 16×16 thumbnail)
+            deduper = (FrameDeduper(
+                eps, signature_fn=lambda f: _dedup_sigs(f[:, :size]))
+                if eps > 0 else None)
+        else:
+            deduper = FrameDeduper(eps) if eps > 0 else None
+        self.retention.begin(vid, color="bgr" if fused else "rgb")
 
         def chunks():
             for frames, chunk_ts in self.reader.stream_frames(
-                    video_path, chunk=settings.STREAM_CHUNK_FRAMES):
+                    video_path, chunk=settings.STREAM_CHUNK_FRAMES,
+                    finish=finish):
                 ts.extend(chunk_ts)
-                if not shape:
-                    shape.append(frames.shape[1:3])
-                # retain pre-dedup (the reranker needs frames the scan
-                # skipped as duplicates too); zero-copy chunk reference
-                self.retention.add(vid, frames, chunk_ts)
+                if not fused:
+                    if not shape:
+                        shape.append(frames.shape[1:3])
+                    self.retention.add(vid, frames, chunk_ts)
                 if deduper is not None:
                     frames = deduper.filter(frames)
                     if len(frames) == 0:

@@ -95,6 +95,11 @@ class Settings(BaseModel):
     # only (2.9×, ≥0.9999); "full" ships raw frames (exact device
     # path). On a bandwidth-limited host↔device link the cold scan is
     # transfer-bound, so this codec IS the cold-path latency knob.
+    SCAN_FUSED_PACK: bool = True  # run the i420 pack ON the decode
+    # threads (N-way parallel, decoder-native BGR absorbed by the pack
+    # matrix — byte-identical output) instead of serialized on the
+    # prefetch thread; retention stores BGR and converts the K rerank
+    # candidates back to RGB on lookup. Off = round-3 behavior.
     TEXT_EMBED_CACHE: int = 512   # LRU entries; 0 disables
     EMBEDDING_MEM_CACHE_MB: int = 256   # in-memory table tier; 0 disables
     EMBEDDING_CACHE_INT8: bool = True   # per-row int8 cache entries

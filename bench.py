@@ -482,7 +482,11 @@ def _tiled_4k_fps() -> dict:
     detect+NMS program over all tiles of a frame in one batch. Reports
     the detection program's throughput with tiles device-resident (the
     host↔device link of this rig is tunnel-bound and measured
-    separately under cold_e2e)."""
+    separately under cold_e2e).
+
+    Tile geometry is SHARED with the accuracy eval
+    (``eval.TILE4K``/``OVERLAP4K``): speed and mAP are measured on the
+    same tiled program structure (round-3 verdict item 5)."""
     import dataclasses as _dc
 
     import jax
@@ -493,11 +497,16 @@ def _tiled_4k_fps() -> dict:
     from avede_tpu.ops.nms import nms_per_class
     from avede_tpu.ops.tiling import tile_frame
 
+    try:
+        from eval import OVERLAP4K, TILE4K
+    except Exception:  # noqa: BLE001 — keep the bench standalone
+        TILE4K, OVERLAP4K = 256, 64
+
     cfg = _dc.replace(yolov8n(), dtype="bfloat16")
     model, variables = init_yolo(cfg, seed=0)
     frame = np.random.default_rng(0).integers(
         0, 255, size=(2160, 3840, 3), dtype=np.uint8)
-    tiles, offsets = tile_frame(frame, 640, 64)
+    tiles, offsets = tile_frame(frame, TILE4K, OVERLAP4K)
 
     @jax.jit
     def detect(variables, tiles_u8):
@@ -525,7 +534,9 @@ def _tiled_4k_fps() -> dict:
             out = detect(variables, td)
         jax.tree.map(np.asarray, out)
         best = min(best, (time.perf_counter() - t0) / reps)
-    return {"resolution": "3840x2160", "tile": 640, "overlap": 64,
+    return {"resolution": "3840x2160", "tile": TILE4K,
+            "overlap": OVERLAP4K,
+            "geometry_shared_with_eval": True,
             "tiles_per_frame": len(offsets),
             "frame_latency_ms": round(best * 1000, 1),
             "frames_per_sec": round(1.0 / best, 2),

@@ -26,6 +26,7 @@ import argparse
 import json
 import os
 import tempfile
+from pathlib import Path
 from typing import Optional
 
 import numpy as np
@@ -106,7 +107,16 @@ def eval_image_retrieval(seed: int = 0, n_subjects: int = 4) -> dict:
 # temporal-grounding eval
 # ---------------------------------------------------------------------------
 
-def eval_grounding(seed: int = 0, steps: int = 150) -> dict:
+def eval_grounding(seed: int = 0, steps: int = 500,
+                   n_seeds: int = 3) -> dict:
+    """Temporal grounding with the detection treatment (round-3 verdict
+    item 6): ≥500 train steps, tIoU@0.5 AND @0.7 over ``n_seeds``
+    seeds, and the eval runs THROUGH ``pipelines/phase3.py`` —
+    ``Phase3Temporal.ground_query`` turns saliency+offsets into
+    second-domain segments (the reference interface,
+    ``/root/reference/src/models/univtg_model.py:363``), so the
+    measured number includes the service's segment construction and
+    overlap suppression, not just the head."""
     import jax
     import jax.numpy as jnp
 
@@ -114,23 +124,20 @@ def eval_grounding(seed: int = 0, steps: int = 150) -> dict:
     from avede_tpu.parallel.mesh import build_mesh
     from avede_tpu.parallel.train import (create_grounding_train_state,
                                           make_grounding_train_step)
+    from avede_tpu.pipelines.phase3 import Phase3Temporal
 
     mesh = build_mesh(jax.devices()[:1])
-    cfg = tiny_grounding_config(input_dim=16)
-    model, state = create_grounding_train_state(cfg, learning_rate=3e-3)
-    step = make_grounding_train_step(model, mesh)
-    rng = np.random.default_rng(seed)
-    B, N, D = 16, 48, 16
+    B, N, D = 16, 64, 32
 
-    def make_batch():
+    def make_batch(rng):
         text = rng.normal(size=(B, D)).astype(np.float32)
         frames = rng.normal(size=(B, N, D)).astype(np.float32) * 0.1
         sal = np.zeros((B, N), np.float32)
         off = np.zeros((B, N, 2), np.float32)
         segs = []
         for b in range(B):
-            s = int(rng.integers(4, N - 12))
-            e = s + int(rng.integers(4, 10))
+            s = int(rng.integers(4, N - 16))
+            e = s + int(rng.integers(4, 12))
             frames[b, s:e] += text[b] * 0.6
             sal[b, s:e] = 1.0
             for i in range(s, e):
@@ -139,24 +146,83 @@ def eval_grounding(seed: int = 0, steps: int = 150) -> dict:
         return ([jnp.asarray(x) for x in (frames, text, sal, off,
                                           np.ones((B, N), bool))], segs)
 
-    for _ in range(steps):
-        args, _ = make_batch()
-        state, metrics = step(state, *args)
+    class _StubEngine:
+        """frame_embeddings/embed_texts provider for the service path:
+        the synthetic task lives in embedding space, so the stub plays
+        phase-1's role of supplying cached embeddings."""
 
-    # held-out eval: temporal IoU of argmax-saliency segment
-    args, segs = make_batch()
-    sal, off = model.apply({"params": state.params}, args[0], args[1],
-                           args[4])
-    sal, off = np.asarray(sal), np.asarray(off)
-    ious = []
-    for b, (s, e) in enumerate(segs):
-        i = int(np.argmax(sal[b]))
-        ps, pe = i - off[b, i, 0], i + off[b, i, 1]
-        inter = max(0.0, min(e, pe) - max(s, ps))
-        union = max(e, pe) - min(s, ps)
-        ious.append(inter / union if union > 0 else 0.0)
-    return {"mean_temporal_iou": float(np.mean(ious)),
-            "final_loss": float(metrics["loss"]),
+        def __init__(self):
+            import types
+
+            self.cfg = types.SimpleNamespace(projection_dim=D)
+            self.text = None
+
+        def embed_texts(self, q):
+            return self.text[None]
+
+    class _StubP1:
+        def __init__(self, engine):
+            self.engine = engine
+            self.emb, self.ts = None, None
+
+        def frame_embeddings(self, path, video_id=None):
+            return self.emb, self.ts
+
+    class _StubP2:
+        def __init__(self, engine):
+            self.phase1 = _StubP1(engine)
+
+    per_seed = []
+    final_loss = None
+    for s_i in range(n_seeds):
+        cfg = tiny_grounding_config(input_dim=D)
+        model, state = create_grounding_train_state(
+            cfg, learning_rate=3e-3)
+        step = make_grounding_train_step(model, mesh)
+        rng = np.random.default_rng(seed + s_i)
+        for _ in range(steps):
+            args, _ = make_batch(rng)
+            state, metrics = step(state, *args)
+        final_loss = float(metrics["loss"])
+
+        # held-out eval THROUGH the service: segments in seconds from
+        # Phase3Temporal.ground_query (dt = 1 s)
+        engine = _StubEngine()
+        p3 = Phase3Temporal(_StubP2(engine), cfg=cfg,
+                            params=state.params)
+        args, segs = make_batch(np.random.default_rng(seed + s_i + 777))
+        frames, text = np.asarray(args[0]), np.asarray(args[1])
+        ious = []
+        for b, (gs, ge) in enumerate(segs):
+            p3.phase2.phase1.emb = frames[b]
+            p3.phase2.phase1.ts = [float(t) for t in range(N)]
+            engine.text = text[b]
+            top = p3.ground_query("synthetic://grounding", "query",
+                                  top_k=1, video_id=f"g{s_i}_{b}")
+            if not top:
+                ious.append(0.0)
+                continue
+            ps, pe = top[0]["start_time"], top[0]["end_time"]
+            inter = max(0.0, min(ge, pe) - max(gs, ps))
+            union = max(ge, pe) - min(gs, ps)
+            ious.append(inter / union if union > 0 else 0.0)
+        per_seed.append({
+            "mean_temporal_iou": float(np.mean(ious)),
+            "tiou_at_0.5": float(np.mean([i >= 0.5 for i in ious])),
+            "tiou_at_0.7": float(np.mean([i >= 0.7 for i in ious])),
+        })
+
+    mean_ious = [p["mean_temporal_iou"] for p in per_seed]
+    return {"mean_temporal_iou": float(np.mean(mean_ious)),
+            "mean_temporal_iou_std": float(np.std(mean_ious)),
+            "tiou_at_0.5": float(np.mean(
+                [p["tiou_at_0.5"] for p in per_seed])),
+            "tiou_at_0.7": float(np.mean(
+                [p["tiou_at_0.7"] for p in per_seed])),
+            "per_seed": per_seed,
+            "n_seeds": n_seeds,
+            "eval_path": "pipelines.phase3.Phase3Temporal.ground_query",
+            "final_loss": final_loss,
             "train_steps": steps}
 
 
@@ -760,12 +826,21 @@ def _average_precision(all_dets, all_gts, iou_thr: float = 0.5
     return float(np.mean(aps)) if aps else 0.0
 
 
+# ONE tiled-4K geometry for BOTH artifacts: bench.py's _tiled_4k_fps
+# (speed, full yolov8n) and eval_detection_4k (accuracy) measure the
+# SAME tile grid — round 3 measured them on different tiled programs
+# (tile 640 vs 256), so speed and accuracy claims weren't about one
+# configuration (verdict item 5).
+TILE4K, OVERLAP4K = 256, 64
+
+
 def eval_detection_4k(seed: int = 0, steps: int = 700,
-                      n_frames: int = 4) -> dict:
+                      n_frames: int = 16, n_seeds: int = 2) -> dict:
     """Tiled small-object detection at CLAIMED scale: 3840×2160 frames,
     objects ≤96² px, through the REAL ``SmallObjectService`` tiling
     path (``ops/tiling.py`` → batched YOLO → global NMS), reporting
-    COCO-style mAP@0.5 (the reference's own 0.6+ target,
+    COCO-style mAP@0.5 over ``n_frames`` frames × ``n_seeds``
+    independently trained detectors (the reference's own 0.6+ target,
     ``/root/reference/.documents/documents/
     small_object_detection_enhancement_plan.md:344``)."""
     import cv2
@@ -778,7 +853,7 @@ def eval_detection_4k(seed: int = 0, steps: int = 700,
     from avede_tpu.services.universal_detector import UniversalDetector
     from avede_tpu.utils.synthetic import SHAPE_CLASSES, draw_shape_scene
 
-    TILE, OVERLAP = 256, 64
+    TILE, OVERLAP = TILE4K, OVERLAP4K
 
     def tile_scene(r):
         # train on 256 px tiles downscaled to YOLO's 64 px — the same
@@ -789,49 +864,60 @@ def eval_detection_4k(seed: int = 0, steps: int = 700,
         img64 = cv2.resize(img, (64, 64), interpolation=cv2.INTER_AREA)
         return img64, gb / 4.0, gl, gm
 
-    cfg, variables, final_loss = _train_tiny_yolo(
-        steps, seed, scene_fn=tile_scene)
-    svc = YoloService(cfg=cfg, variables=variables,
-                      class_names=SHAPE_CLASSES)
-    _, params = init_clip(tiny_test_config(), seed=0)
-    engine = ClipEngine(cfg=tiny_test_config(), params=params)
-    from avede_tpu.models.owlvit import tiny_owlvit_config
+    per_seed = []
+    for s_i in range(n_seeds):
+        cfg, variables, final_loss = _train_tiny_yolo(
+            steps, seed + s_i, scene_fn=tile_scene)
+        svc = YoloService(cfg=cfg, variables=variables,
+                          class_names=SHAPE_CLASSES)
+        _, params = init_clip(tiny_test_config(), seed=0)
+        engine = ClipEngine(cfg=tiny_test_config(), params=params)
+        from avede_tpu.models.owlvit import tiny_owlvit_config
 
-    # tiny owl config: yolo_enhanced mode never touches the OWL tower,
-    # so don't pay a full-geometry random init
-    ud = UniversalDetector(engine, yolo=svc,
-                           owlvit_cfg=tiny_owlvit_config())
-    so = SmallObjectService(engine, detector=ud, tile=TILE,
-                            overlap=OVERLAP)
+        # tiny owl config: yolo_enhanced mode never touches the OWL
+        # tower, so don't pay a full-geometry random init
+        ud = UniversalDetector(engine, yolo=svc,
+                               owlvit_cfg=tiny_owlvit_config())
+        so = SmallObjectService(engine, detector=ud, tile=TILE,
+                                overlap=OVERLAP)
 
-    rng = np.random.default_rng(seed + 41)
-    all_dets, all_gts = [], []
-    for _ in range(n_frames):
-        frame, gb, gl, gm = draw_shape_scene(
-            rng, hw=(2160, 3840), max_boxes=24, min_r=12, max_r=48,
-            non_overlapping=True)
-        dets = so.detect_in_frame(
-            frame, SHAPE_CLASSES, conf_threshold=0.35,
-            enable_rpn=False, enable_adaptive_thresholds=True,
-            detection_mode="yolo_enhanced")
-        all_dets.append([
-            {"bbox": d["bbox"], "confidence": d["confidence"],
-             "class_id": SHAPE_CLASSES.index(d["query"])
-             if d.get("query") in SHAPE_CLASSES else -1}
-            for d in dets])
-        all_gts.append((gb[gm], gl[gm]))
+        rng = np.random.default_rng(seed + s_i + 41)
+        all_dets, all_gts = [], []
+        for _ in range(n_frames):
+            frame, gb, gl, gm = draw_shape_scene(
+                rng, hw=(2160, 3840), max_boxes=24, min_r=12, max_r=48,
+                non_overlapping=True)
+            dets = so.detect_in_frame(
+                frame, SHAPE_CLASSES, conf_threshold=0.35,
+                enable_rpn=False, enable_adaptive_thresholds=True,
+                detection_mode="yolo_enhanced")
+            all_dets.append([
+                {"bbox": d["bbox"], "confidence": d["confidence"],
+                 "class_id": SHAPE_CLASSES.index(d["query"])
+                 if d.get("query") in SHAPE_CLASSES else -1}
+                for d in dets])
+            all_gts.append((gb[gm], gl[gm]))
 
-    map50 = _average_precision(all_dets, all_gts, iou_thr=0.5)
-    n_gt = sum(len(gl) for _, gl in all_gts)
-    n_det = sum(len(d) for d in all_dets)
-    return {"map50": map50,
-            "frames": n_frames, "resolution": "3840x2160",
+        map50 = _average_precision(all_dets, all_gts, iou_thr=0.5)
+        per_seed.append({
+            "map50": map50,
+            "objects_total": sum(len(gl) for _, gl in all_gts),
+            "detections_total": sum(len(d) for d in all_dets),
+            "final_train_loss": final_loss})
+
+    maps = [p["map50"] for p in per_seed]
+    return {"map50": float(np.mean(maps)),
+            "map50_std": float(np.std(maps)),
+            "map50_min": float(np.min(maps)),
+            "per_seed": per_seed, "n_seeds": n_seeds,
+            "frames_per_seed": n_frames, "resolution": "3840x2160",
             "tiles_per_frame": len(tile_grid(2160, 3840, TILE,
                                              OVERLAP)),
             "tile_size": TILE, "tile_overlap": OVERLAP,
-            "objects_total": n_gt, "detections_total": n_det,
+            "geometry_shared_with_bench": True,
+            "objects_total": sum(p["objects_total"] for p in per_seed),
             "object_size_px": "24-96",
-            "train_steps": steps, "final_train_loss": final_loss}
+            "train_steps": steps}
 
 
 # ---------------------------------------------------------------------------
@@ -1132,6 +1218,12 @@ def main() -> None:
                                  "all"],
                         default="all")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", default=None,
+                        help="also write the results (plus seed/date/"
+                             "git-rev/backend provenance) to this JSON "
+                             "file — EVAL.json is the committed "
+                             "accuracy artifact the README table is "
+                             "generated from")
     args = parser.parse_args()
     out = {}
     if args.mode in ("image", "all"):
@@ -1152,6 +1244,30 @@ def main() -> None:
         out["library_search_trained"] = eval_library(args.seed)
     if args.mode in ("background", "all"):
         out["background_independence"] = eval_background(args.seed)
+    if args.out:
+        import datetime
+        import subprocess
+
+        try:
+            rev = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+                cwd=str(Path(__file__).resolve().parent),
+            ).stdout.strip() or None
+        except Exception:  # noqa: BLE001 — provenance is best-effort
+            rev = None
+        import jax
+
+        out["meta"] = {
+            "seed": args.seed,
+            "mode": args.mode,
+            "date": datetime.datetime.now(datetime.timezone.utc)
+                    .isoformat(timespec="seconds"),
+            "git_rev": rev,
+            "backend": jax.devices()[0].platform,
+            "n_devices": jax.device_count(),
+        }
+        Path(args.out).write_text(json.dumps(out, indent=1))
     print(json.dumps(out, indent=2))
 
 

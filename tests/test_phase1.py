@@ -155,3 +155,98 @@ class TestMultiQuery:
                 [r["window_index"] for r in single]
             for a, b in zip(batch[q], single):
                 assert abs(a["confidence"] - b["confidence"]) < 1e-5
+
+
+class TestFusedPack:
+    """The fused decode-thread i420 pack (SCAN_FUSED_PACK) must be a
+    pure relocation of work: identical embeddings, identical rerank
+    candidate pixels, same cache tag as the prefetch-thread pack."""
+
+    def _embeddings(self, video, engine, tmp_path, fused, sub,
+                    eps=0.0):
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+        from avede_tpu.pipelines.phase1 import Phase1Scan
+        from avede_tpu.utils.config import settings
+
+        old = settings.SCAN_FUSED_PACK
+        old_eps = settings.SCAN_DEDUP_EPS
+        settings.SCAN_FUSED_PACK = fused
+        settings.SCAN_DEDUP_EPS = eps
+        try:
+            scan = Phase1Scan(
+                engine, cache=EmbeddingCache(str(tmp_path / sub)))
+            emb, ts = scan.frame_embeddings(video, video_id=f"v{fused}")
+            return scan, emb, ts
+        finally:
+            settings.SCAN_FUSED_PACK = old
+            settings.SCAN_DEDUP_EPS = old_eps
+
+    def test_fused_pack_matches_prefetch_pack(self, test_video,
+                                              tiny_engine, tmp_path):
+        """Dedup disabled: with the gate off the fused pack must be
+        byte-identical work relocation. (With dedup ON the gates
+        legitimately differ — fused gates on the packed luma, i.e. on
+        exactly what the model sees after the central crop, so frames
+        merged there have identical embeddings by construction.)"""
+        _, emb_f, ts_f = self._embeddings(test_video, tiny_engine,
+                                          tmp_path, True, "a")
+        _, emb_u, ts_u = self._embeddings(test_video, tiny_engine,
+                                          tmp_path, False, "b")
+        assert ts_f == ts_u
+        np.testing.assert_array_equal(emb_f, emb_u)
+
+    def test_fused_dedup_scatter_consistent(self, test_video,
+                                            tiny_engine, tmp_path):
+        """With the gate on, the fused path still yields a full-length
+        table aligned with timestamps."""
+        _, emb, ts = self._embeddings(test_video, tiny_engine,
+                                      tmp_path, True, "e", eps=1.5)
+        assert len(emb) == len(ts)
+        assert np.isfinite(emb).all()
+
+    def test_retention_serves_rgb_from_bgr_store(self, test_video,
+                                                 tiny_engine, tmp_path):
+        scan_f, _, ts = self._embeddings(test_video, tiny_engine,
+                                         tmp_path, True, "c")
+        scan_u, _, _ = self._embeddings(test_video, tiny_engine,
+                                        tmp_path, False, "d")
+        want = ts[:3]
+        got_f = scan_f.retention.lookup("vTrue", want)
+        got_u = scan_u.retention.lookup("vFalse", want)
+        assert set(got_f) == set(got_u) and got_f
+        for k in got_f:
+            np.testing.assert_array_equal(got_f[k], got_u[k])
+
+    def test_finish_hook_runs_on_decode_threads(self, test_video):
+        import threading
+
+        from avede_tpu.io.video_reader import VideoReader
+
+        seen = []
+
+        def finish(bgr, ts):
+            seen.append((threading.current_thread().name,
+                         bgr.shape, len(ts)))
+            return bgr[:, :8, :8]        # arbitrary transform
+
+        reader = VideoReader(max_frames=32)
+        chunks = list(reader.stream_frames(test_video, chunk=8,
+                                           finish=finish))
+        assert seen and all(n.startswith("avede-decode")
+                            for n, _, _ in seen)
+        # consumer receives the hook's return value
+        assert all(f.shape[1:3] == (8, 8) for f, _ in chunks)
+
+    def test_dedup_luma_signature_gates_static_video(self, tmp_path):
+        from avede_tpu.ops.dedup import FrameDeduper, _signatures
+        from avede_tpu.ops.preprocess import pack_frames_i420
+
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 255, (64, 96, 3), np.uint8)
+        frames = np.stack([base] * 6 + [np.roll(base, 40, axis=1)] * 2)
+        packed = pack_frames_i420(frames, 32)
+        ded = FrameDeduper(1.5,
+                           signature_fn=lambda f: _signatures(f[:, :32]))
+        kept = ded.filter(packed)
+        assert ded.n_unique == 2 and len(kept) == 2
+        assert ded.mapping == [0] * 6 + [1] * 2

@@ -40,9 +40,10 @@ def _rng(spread, key, nd=1, scale=1.0):
     if not s:
         return "—"
     lo, hi = s["min"] * scale, s["max"] * scale
+    runs = f"{s['n']} run" + ("s" if s["n"] != 1 else "")
     if round(lo, nd) == round(hi, nd):
-        return f"{_fmt(lo, nd)} ({s['n']} runs)"
-    return f"{_fmt(lo, nd)}–{_fmt(hi, nd)} ({s['n']} runs)"
+        return f"{_fmt(lo, nd)} ({runs})"
+    return f"{_fmt(lo, nd)}–{_fmt(hi, nd)} ({runs})"
 
 
 def render(artifact: dict) -> str:
