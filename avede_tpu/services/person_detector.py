@@ -210,11 +210,20 @@ class PersonDetector:
     own geometric gray-crop fallback otherwise."""
 
     def __init__(self, engine: ClipEngine, yolo=None,
-                 appearance=None) -> None:
+                 appearance=None, face_yolo=None,
+                 face_embedder=None) -> None:
         self.engine = engine
         self._yolo = yolo
         self._yn = self._load_face_yn()
         self.appearance = appearance or self._load_appearance()
+        # trained face path (round-3 verdict item 4): a tiny-YOLO face
+        # REGION detector applied to the person crop (the role the
+        # FaceDetectorYN ONNX plays when configured) + a contrastively
+        # trained face embedding on the detected region — both built by
+        # ``eval.py --mode person`` on synthetic identities or loaded
+        # from settings weights
+        self._face_yolo = face_yolo or self._load_face_detector()
+        self.face_embedder = face_embedder or self._load_face_embedder()
 
     @staticmethod
     def _load_appearance():
@@ -231,6 +240,48 @@ class PersonDetector:
             except Exception:  # noqa: BLE001
                 logger.warning("Appearance encoder load failed; geometric "
                                "identity fallback in use")
+        return None
+
+    @staticmethod
+    def _load_face_detector():
+        """Trained face-region detector gated on
+        settings.FACE_DETECTOR_WEIGHTS (tiny-YOLO geometry, 1 class)."""
+        path = getattr(settings, "FACE_DETECTOR_WEIGHTS", None)
+        if path and Path(path).exists():
+            try:
+                from ..models.convert import load_params
+                from ..models.yolo import YoloConfig
+                from .detector import YoloService
+
+                return YoloService(
+                    cfg=YoloConfig(num_classes=1, scale="n",
+                                   img_size=64),
+                    variables=load_params(path), class_names=["face"])
+            except Exception:  # noqa: BLE001
+                logger.warning("Face detector load failed; geometric "
+                               "face region in use")
+        return None
+
+    @staticmethod
+    def _load_face_embedder():
+        """Trained face embedding gated on settings.FACE_EMBED_WEIGHTS
+        (AppearanceEncoder geometry at 32 px face crops)."""
+        path = getattr(settings, "FACE_EMBED_WEIGHTS", None)
+        if path and Path(path).exists():
+            try:
+                from ..models.appearance import (AppearanceConfig,
+                                                 AppearanceEmbedder)
+                from ..models.convert import load_params
+
+                emb = AppearanceEmbedder(
+                    AppearanceConfig(input_size=32,
+                                     widths=(16, 32, 32, 64),
+                                     embed_dim=64),
+                    params=load_params(path))
+                logger.info("Face embedding loaded from %s", path)
+                return emb
+            except Exception:  # noqa: BLE001
+                logger.warning("Face embedding load failed")
         return None
 
     @property
@@ -270,7 +321,10 @@ class PersonDetector:
 
     def find_faces(self, frame: np.ndarray,
                    person_bbox: List[float]) -> List[float]:
-        """Face bbox: real detector when configured, else geometric."""
+        """Face bbox: FaceDetectorYN when an ONNX is configured, else
+        the TRAINED face-region detector on the person crop, else the
+        geometric head estimate (the reference's own fallback,
+        ``enhanced_person_detector.py:226-357``)."""
         import cv2
 
         if self._yn is not None:
@@ -284,6 +338,18 @@ class PersonDetector:
                     return [person_bbox[0] + fx, person_bbox[1] + fy,
                             person_bbox[0] + fx + fw,
                             person_bbox[1] + fy + fh]
+        if self._face_yolo is not None:
+            region = crop(frame, person_bbox)
+            if region.size and min(region.shape[:2]) >= 8:
+                dets = self._face_yolo.detect(region[None],
+                                              conf_threshold=0.15)[0]
+                if dets:
+                    best = max(dets, key=lambda d: d["confidence"])
+                    fx0, fy0, fx1, fy1 = best["bbox"]
+                    x0 = person_bbox[0] + max(fx0, 0.0)
+                    y0 = person_bbox[1] + max(fy0, 0.0)
+                    return [x0, y0,
+                            person_bbox[0] + fx1, person_bbox[1] + fy1]
         return face_region(person_bbox)
 
     def extract_features(self, frame: np.ndarray,
@@ -311,13 +377,40 @@ class PersonDetector:
             for k in ok:
                 identity.append(emb[j] if k else None)
                 j += k
+        # trained FACE path: detector-localized face boxes embedded by
+        # the contrastive face encoder (raw frame, same rationale as
+        # the identity head crops — the encoder learned its lighting
+        # invariance in training)
+        face_emb = None
+        face_boxes = None
+        if bboxes:
+            face_boxes = [self.find_faces(norm, b) for b in bboxes]
+            if self.face_embedder is not None:
+                crops = [crop(frame, fb) for fb in face_boxes]
+                ok = [c.size > 0 and min(c.shape[:2]) >= 4
+                      for c in crops]
+                emb = self.face_embedder.embed(
+                    [c for c, k in zip(crops, ok) if k])
+                face_emb, j = [], 0
+                for k in ok:
+                    face_emb.append(emb[j] if k else None)
+                    j += k
         out = []
         for i, (bbox, vis) in enumerate(zip(bboxes, visual)):
-            fb = self.find_faces(norm, bbox)
+            if face_emb is not None:
+                face = face_emb[i]
+            elif identity is None:
+                # nothing trained: the reference's own gray-crop
+                # fallback (enhanced_person_detector.py:226-357)
+                face = face_feature(crop(norm, face_boxes[i]))
+            else:
+                # identity cue carries the face term; a gray crop
+                # alongside would only dilute it
+                face = None
             out.append({
                 "bbox": bbox,
-                "face": (identity[i] if identity is not None
-                         else face_feature(crop(norm, fb))),
+                "identity": identity[i] if identity is not None else None,
+                "face": face,
                 "body": body_feature(crop(norm, bbox), bbox),
                 "visual": vis,
             })
@@ -325,8 +418,21 @@ class PersonDetector:
 
     def similarity(self, ref: Dict, cand: Dict) -> Dict[str, float]:
         """Weighted 0.6 face + 0.3 body + 0.1 visual; missing modalities
-        renormalize (reference ``:738-822``)."""
-        sims = {"face": _cos(ref.get("face"), cand.get("face")),
+        renormalize (reference ``:738-822``).
+
+        The 0.6 face term is the mean of the available learned identity
+        cues: the appearance embedding of the head region and the face
+        embedding of the detector-localized face box (or the gray-crop
+        fallback when nothing is trained). Two cues, two failure modes:
+        the head crop keys on hair/skin, the face crop on the face
+        proper — averaging them is robust to either being occluded."""
+        face_cues = [
+            _cos(ref.get("identity"), cand.get("identity")),
+            _cos(ref.get("face"), cand.get("face")),
+        ]
+        face_cues = [c for c in face_cues if c is not None]
+        sims = {"face": (float(np.mean(face_cues)) if face_cues
+                         else None),
                 "body": _cos(ref.get("body"), cand.get("body")),
                 "visual": _cos(ref.get("visual"), cand.get("visual"))}
         weights = {"face": FACE_W, "body": BODY_W, "visual": VISUAL_W}

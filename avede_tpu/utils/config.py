@@ -81,6 +81,10 @@ class Settings(BaseModel):
     )   # BERT-layout WordPiece vocab for the BLIP text side
     FACE_MODEL_PATH: Optional[str] = None   # cv2 FaceDetectorYN onnx (optional)
     APPEARANCE_WEIGHTS: Optional[str] = None  # trained re-ID encoder .npz
+    FACE_DETECTOR_WEIGHTS: Optional[str] = None  # trained face-region
+    # tiny-YOLO .npz (FaceDetectorYN alternative — no ONNX required)
+    FACE_EMBED_WEIGHTS: Optional[str] = None  # trained face embedding
+    # .npz (AppearanceEncoder at 32 px face crops)
 
     # --- Inference knobs (reference config.py:37-40) ---
     BATCH_SIZE: int = 32

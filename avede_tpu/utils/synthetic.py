@@ -112,12 +112,14 @@ def with_outfit(identity: Dict, rng: np.random.Generator) -> Dict:
 def draw_person(identity: Dict, rng: np.random.Generator,
                 frame_hw: Tuple[int, int] = (128, 128),
                 center: Optional[Tuple[int, int]] = None,
-                person_h: Optional[int] = None
+                person_h: Optional[int] = None,
+                parts: Optional[Dict] = None
                 ) -> Tuple[np.ndarray, List[float]]:
     """One VIEW of an identity → (frame uint8 [H,W,3], person bbox).
 
     Nuisance per view: background texture/level, clothing color,
-    brightness, position, scale jitter.
+    brightness, position, scale jitter. ``parts`` (optional dict) is
+    filled with ground-truth part boxes (``face``).
     """
     import cv2
 
@@ -132,7 +134,8 @@ def draw_person(identity: Dict, rng: np.random.Generator,
           else int(rng.integers(pw // 2 + 2, W - pw // 2 - 2)))
     cy = (center[1] if center
           else int(rng.integers(ph // 2 + 2, H - ph // 2 - 2)))
-    bbox = _draw_person_into(frame, identity, rng, (cx, cy), ph)
+    bbox = _draw_person_into(frame, identity, rng, (cx, cy), ph,
+                             parts=parts)
 
     # lighting nuisance: global gain
     gain = float(rng.uniform(0.7, 1.3))
@@ -143,8 +146,13 @@ def draw_person(identity: Dict, rng: np.random.Generator,
 
 def _draw_person_into(frame: np.ndarray, identity: Dict,
                       rng: np.random.Generator,
-                      center: Tuple[int, int], ph: int) -> List[float]:
-    """Composite one identity view into an existing frame → bbox."""
+                      center: Tuple[int, int], ph: int,
+                      parts: Optional[Dict] = None) -> List[float]:
+    """Composite one identity view into an existing frame → bbox.
+    With ``parts`` (a dict), also records ground-truth part boxes —
+    ``parts["face"]`` is the head-ellipse bbox, the training target for
+    the learned face-region detector (the role cv2.FaceDetectorYN's
+    ONNX plays when configured; no ONNX ships in this image)."""
     import cv2
 
     cx, cy = center
@@ -155,6 +163,9 @@ def _draw_person_into(frame: np.ndarray, identity: Dict,
     head_h = int(ph * 0.22)
     head_w = int(head_h * identity["head_aspect"])
     hx, hy = cx, y0 + head_h // 2
+    if parts is not None:
+        parts["face"] = [float(hx - head_w / 2), float(hy - head_h / 2),
+                         float(hx + head_w / 2), float(hy + head_h / 2)]
     clothing = identity.get("clothing") \
         or tuple(int(v) for v in rng.integers(30, 230, 3))
 
@@ -281,6 +292,85 @@ def identity_batch(identities: List[Dict], rng: np.random.Generator,
             if box_jitter > 0:
                 bbox = jitter_bbox(bbox, rng, box_jitter)
             crop = head_crop(frame, bbox)
+            crop = cv2.resize(crop, (crop_size, crop_size),
+                              interpolation=cv2.INTER_AREA)
+            if codec_aug and rng.random() < 0.5:
+                q = int(rng.integers(35, 90))
+                _, enc = cv2.imencode(
+                    ".jpg", crop, [cv2.IMWRITE_JPEG_QUALITY, q])
+                crop = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+            crops.append(crop)
+        views.append(np.stack(crops).astype(np.float32) / 255.0)
+    return views[0], views[1]
+
+
+def crop_bbox(frame: np.ndarray, bbox: List[float]) -> np.ndarray:
+    """Clamped integer crop of a float bbox."""
+    x0 = int(np.clip(bbox[0], 0, frame.shape[1] - 2))
+    y0 = int(np.clip(bbox[1], 0, frame.shape[0] - 2))
+    x1 = int(np.clip(bbox[2], x0 + 1, frame.shape[1]))
+    y1 = int(np.clip(bbox[3], y0 + 1, frame.shape[0]))
+    return frame[y0:y1, x0:x1]
+
+
+def face_detector_scene(rng: np.random.Generator, size: int = 64
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   np.ndarray]:
+    """One training scene for the learned face-REGION detector: a
+    person crop (slightly jittered, as the serving path sees detector
+    person boxes) resized to ``size``, with the ground-truth face box
+    mapped into crop coordinates. YOLO-style (img, boxes[1,4],
+    labels[1], mask[1]) so ``_train_tiny_yolo`` machinery is reused
+    unchanged. Mirrors how ``PersonDetector.find_faces`` applies the
+    detector: on the person region, not the whole frame."""
+    import cv2
+
+    parts: Dict = {}
+    ident = make_identity(rng)
+    frame, bbox = draw_person(ident, rng, frame_hw=(128, 128),
+                              parts=parts)
+    pb = jitter_bbox(bbox, rng, 0.06)
+    x0 = int(np.clip(pb[0], 0, frame.shape[1] - 2))
+    y0 = int(np.clip(pb[1], 0, frame.shape[0] - 2))
+    x1 = int(np.clip(pb[2], x0 + 1, frame.shape[1]))
+    y1 = int(np.clip(pb[3], y0 + 1, frame.shape[0]))
+    region = frame[y0:y1, x0:x1]
+    sy = size / region.shape[0]
+    sx = size / region.shape[1]
+    img = cv2.resize(region, (size, size),
+                     interpolation=cv2.INTER_AREA)
+    fb = parts["face"]
+    face = np.array([(fb[0] - x0) * sx, (fb[1] - y0) * sy,
+                     (fb[2] - x0) * sx, (fb[3] - y0) * sy], np.float32)
+    face = np.clip(face, 0, size - 1)
+    boxes = face[None]
+    mask = np.array([face[2] > face[0] + 1 and face[3] > face[1] + 1])
+    return img, boxes, np.zeros((1,), np.int32), mask
+
+
+def face_batch(identities: List[Dict], rng: np.random.Generator,
+               crop_size: int = 32, codec_aug: bool = True,
+               box_jitter: float = 0.10
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Two aligned augmented FACE-crop views per identity → (a, b)
+    float [B, S, S, 3] in [0,1] for NT-Xent training of the face
+    embedding. Same augmentation rationale as ``identity_batch`` (codec
+    round-trips, box jitter matching the face detector's edge noise),
+    but crops the ground-truth FACE box — skin tone, head aspect, eye
+    spacing and fringe line are the identity signal; torso clothing
+    never enters the crop."""
+    import cv2
+
+    views = []
+    for _ in range(2):
+        crops = []
+        for ident in identities:
+            parts: Dict = {}
+            frame, _ = draw_person(ident, rng, parts=parts)
+            fb = parts["face"]
+            if box_jitter > 0:
+                fb = jitter_bbox(fb, rng, box_jitter)
+            crop = crop_bbox(frame, fb)
             crop = cv2.resize(crop, (crop_size, crop_size),
                               interpolation=cv2.INTER_AREA)
             if codec_aug and rng.random() < 0.5:

@@ -988,6 +988,68 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
             other.extend((e @ embs[j].T).reshape(-1))
     same_mean, other_mean = float(np.mean(same)), float(np.mean(other))
 
+    # 1b) train the FACE path (round-3 verdict item 4): a face-REGION
+    # detector on person crops (the FaceDetectorYN role — no ONNX in
+    # this image) + a contrastive face embedding on the detected-box
+    # geometry, both on synthetic identities with GT face boxes
+    from avede_tpu.models.appearance import (AppearanceConfig,
+                                             AppearanceEmbedder)
+    from avede_tpu.utils.synthetic import (crop_bbox, face_batch,
+                                           face_detector_scene)
+
+    face_det_steps = 400
+    fd_cfg, fd_vars, fd_loss = _train_tiny_yolo(
+        face_det_steps, seed + 11, scene_fn=face_detector_scene,
+        num_classes=1, max_boxes=1, img_size=64)
+    face_yolo = YoloService(cfg=fd_cfg, variables=fd_vars,
+                            class_names=["face"])
+    # detector quality: IoU of the top face box vs GT on held-out crops
+    fd_rng = np.random.default_rng(seed + 12)
+    fd_ious = []
+    for _ in range(32):
+        img, gtb, _, gtm = face_detector_scene(fd_rng)
+        dets = face_yolo.detect(img[None], conf_threshold=0.15)[0]
+        if not dets or not gtm[0]:
+            fd_ious.append(0.0)
+            continue
+        best = max(dets, key=lambda d: d["confidence"])
+        fd_ious.append(_iou_xyxy(best["bbox"], gtb[0]))
+    face_detector_iou = float(np.mean(fd_ious))
+
+    face_embed_steps = 600
+    fcfg = AppearanceConfig(input_size=32, widths=(16, 32, 32, 64),
+                            embed_dim=64)
+    fmodel, fstate = create_reid_train_state(fcfg, learning_rate=1e-3,
+                                             seed=seed + 13)
+    fstep = make_reid_train_step(fmodel)
+    face_loss = None
+    for i in range(face_embed_steps):
+        easy = i < face_embed_steps // 8
+        a, b = face_batch(identities, rng, crop_size=fcfg.input_size,
+                          codec_aug=not easy,
+                          box_jitter=0.0 if easy else 0.10)
+        fstate, fm = fstep(fstate, jnp.asarray(a), jnp.asarray(b))
+        face_loss = float(fm["loss"])
+    face_embedder = AppearanceEmbedder(
+        fcfg, params=jax.device_get(fstate.params))
+
+    # face-embedding identity margin on the held-out identities
+    fembs = []
+    for ident in held:
+        crops = []
+        for _ in range(4):
+            parts = {}
+            frame, _ = draw_person(ident, rng, parts=parts)
+            crops.append(crop_bbox(frame, parts["face"]))
+        fembs.append(face_embedder.embed(crops))
+    fsame, fother = [], []
+    for i, e in enumerate(fembs):
+        s = e @ e.T
+        fsame.extend(s[np.triu_indices(len(e), 1)])
+        for j in range(i + 1, len(fembs)):
+            fother.extend((e @ fembs[j].T).reshape(-1))
+    face_margin = float(np.mean(fsame)) - float(np.mean(fother))
+
     # 2) train a 1-class person detector on CROWD scenes (128 px, up
     # to 4 people — round-2 verdict item 10 scale) at NATIVE 128:
     # crowd boxes from a 64 px downscale were too sloppy for head-crop
@@ -1016,8 +1078,6 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
     # in half the frames among 3 distractors
     _, cparams = init_clip(tiny_test_config(), seed=0)
     engine = ClipEngine(cfg=tiny_test_config(), params=cparams)
-    detector = PersonDetector(engine, yolo=yolo, appearance=embedder)
-    search = PersonSearchService(engine, detector=detector)
 
     # within one video each person keeps their outfit (with_outfit):
     # body/visual similarity channels in the service carry real signal,
@@ -1050,44 +1110,76 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
     rf, rb = draw_person(target, rng, frame_hw=(128, 128), person_h=80)
     x0, y0, x1, y1 = (int(v) for v in rb)
     ref_frame = rf[max(0, y0 - 6):y1 + 6, max(0, x0 - 6):x1 + 6]
-    out = search.process_video_for_person(
-        video, ref_frame, similarity_threshold=0.0, frame_skip=1,
-        temporal_consistency=False)
-    # rank-based scoring: matches sorted by similarity; a match is
-    # correct if its frame truly contains the target
-    ms = sorted(out["matches"], key=lambda m: -m["similarity"])
-    k = len(gt_target)
-    topk = ms[:k]
-    correct = sum(1 for m in topk if m["frame_index"] in gt_target)
-    prec_at_k = correct / max(len(topk), 1)
-    rec = len({m["frame_index"] for m in topk}
-              & set(gt_target)) / max(k, 1)
-    # FRAME-level ranking (how the product surfaces person hits: a
-    # frame's score is its best match). Match-level top-k lets several
-    # detections from one busy frame crowd out other target frames, so
-    # it understates recall on 4-person scenes.
-    frame_best: dict = {}
-    for m in out["matches"]:
-        frame_best[m["frame_index"]] = max(
-            frame_best.get(m["frame_index"], 0.0), m["similarity"])
-    ranked = sorted(frame_best, key=lambda f: -frame_best[f])[:k]
-    frame_prec = len(set(ranked) & set(gt_target)) / max(len(ranked), 1)
-    # full recall over ALL matches above the similarity midpoint
-    # (how many target frames surface at all)
-    rec_all = len({m["frame_index"] for m in ms}
-                  & set(gt_target)) / max(k, 1)
+
+    def run_search(detector: PersonDetector) -> dict:
+        """Crowd search with one feature configuration → rank metrics.
+        Rank-based scoring: matches sorted by similarity; a match is
+        correct if its frame truly contains the target. FRAME-level
+        ranking (a frame's score is its best match) is how the product
+        surfaces person hits — match-level top-k lets several
+        detections from one busy frame crowd out other target frames,
+        understating recall on 4-person scenes."""
+        search = PersonSearchService(engine, detector=detector)
+        out = search.process_video_for_person(
+            video, ref_frame, similarity_threshold=0.0, frame_skip=1,
+            temporal_consistency=False)
+        ms = sorted(out["matches"], key=lambda m: -m["similarity"])
+        k = len(gt_target)
+        topk = ms[:k]
+        correct = sum(1 for m in topk if m["frame_index"] in gt_target)
+        frame_best: dict = {}
+        for m in out["matches"]:
+            frame_best[m["frame_index"]] = max(
+                frame_best.get(m["frame_index"], 0.0), m["similarity"])
+        ranked = sorted(frame_best,
+                        key=lambda f: -frame_best[f])[:k]
+        return {
+            "precision_at_k": correct / max(len(topk), 1),
+            "frame_precision_at_k": len(set(ranked) & set(gt_target))
+            / max(len(ranked), 1),
+            "recall_at_k": len({m["frame_index"] for m in topk}
+                               & set(gt_target)) / max(k, 1),
+            "recall": len({m["frame_index"] for m in ms}
+                          & set(gt_target)) / max(k, 1),
+            "matches_found": out["total_found"],
+        }
+
+    # ablations (round-3 verdict item 4): the face term must be shown
+    # to CONTRIBUTE — full fusion vs each identity cue alone vs the
+    # untrained geometric gray-crop fallback, all through the real
+    # streaming service on the same video + reference
+    ablations = {
+        "full": run_search(PersonDetector(
+            engine, yolo=yolo, appearance=embedder,
+            face_yolo=face_yolo, face_embedder=face_embedder)),
+        "appearance_only": run_search(PersonDetector(
+            engine, yolo=yolo, appearance=embedder)),
+        "face_only": run_search(PersonDetector(
+            engine, yolo=yolo, face_yolo=face_yolo,
+            face_embedder=face_embedder)),
+        "geometric_fallback": run_search(PersonDetector(
+            engine, yolo=yolo)),
+    }
+    full = ablations["full"]
     return {"identity_same_mean_sim": same_mean,
             "identity_other_mean_sim": other_mean,
             "identity_margin": same_mean - other_mean,
-            "person_precision_at_k": prec_at_k,
-            "person_frame_precision_at_k": frame_prec,
-            "person_recall_at_k": rec,
-            "person_recall": rec_all,
+            "face_margin": face_margin,
+            "face_detector_iou": face_detector_iou,
+            "person_precision_at_k": full["precision_at_k"],
+            "person_frame_precision_at_k": full["frame_precision_at_k"],
+            "person_recall_at_k": full["recall_at_k"],
+            "person_recall": full["recall"],
+            "ablations": ablations,
             "scene": "128px crowd, 4 people/frame",
-            "matches_found": out["total_found"],
+            "matches_found": full["matches_found"],
             "reid_final_loss": reid_loss,
+            "face_embed_final_loss": face_loss,
+            "face_detector_final_loss": fd_loss,
             "detector_final_loss": det_loss,
-            "reid_steps": reid_steps, "det_steps": det_steps}
+            "reid_steps": reid_steps, "det_steps": det_steps,
+            "face_embed_steps": face_embed_steps,
+            "face_det_steps": face_det_steps}
 
 
 # ---------------------------------------------------------------------------
@@ -1267,7 +1359,17 @@ def main() -> None:
             "backend": jax.devices()[0].platform,
             "n_devices": jax.device_count(),
         }
-        Path(args.out).write_text(json.dumps(out, indent=1))
+        # single-mode runs MERGE into an existing artifact (refresh one
+        # capability without dropping the other modes' records)
+        target = Path(args.out)
+        merged = {}
+        if target.exists() and args.mode != "all":
+            try:
+                merged = json.loads(target.read_text())
+            except Exception:  # noqa: BLE001 — corrupt → rewrite
+                merged = {}
+        merged.update(out)
+        target.write_text(json.dumps(merged, indent=1))
     print(json.dumps(out, indent=2))
 
 
