@@ -285,11 +285,24 @@ def _overlap_benefit(model, params, cfg) -> dict:
     engine.embed_frames(frames)
     seq_s = time.perf_counter() - t0
 
+    # product cold path (Phase1's fused pack): the i420 pack runs ON
+    # the decode threads via the finish hook — N-way parallel,
+    # decoder-native BGR absorbed by the pack matrix (byte-identical
+    # to the prefetch-thread pack; see pack_frames_i420 src='bgr')
+    from avede_tpu.ops.preprocess import pack_frames_i420
+
+    fused = (_settings.SCAN_FUSED_PACK
+             and _settings.SCAN_TRANSFER == "i420"
+             and cfg.image_size % 4 == 0)
+    pack_hook = ((lambda bgr, ts: pack_frames_i420(
+        bgr, cfg.image_size, src="bgr")) if fused else None)
+
     def stream_once(workers: int) -> float:
         t0 = time.perf_counter()
         engine.embed_stream(
             f for f, _ in reader.stream_frames(video, chunk=256,
-                                               workers=workers))
+                                               workers=workers,
+                                               finish=pack_hook))
         return time.perf_counter() - t0
 
     # tunnel-state variance on this rig is large (same config has
@@ -331,13 +344,18 @@ def _overlap_benefit(model, params, cfg) -> dict:
             f[100:180, (i * 4) % 400: (i * 4) % 400 + 80] = 255
         w.write(f)
     w.release()
-    from avede_tpu.ops.dedup import FrameDeduper, rebatch
+    from avede_tpu.ops.dedup import FrameDeduper, _signatures, rebatch
 
     t0 = time.perf_counter()
-    deduper = FrameDeduper(eps=1.5)
+    # mirror Phase1's fused gate: signatures from the packed luma plane
+    deduper = FrameDeduper(
+        eps=1.5,
+        signature_fn=((lambda f: _signatures(f[:, :cfg.image_size]))
+                      if fused else None))
     chunks = (deduper.filter(f)
               for f, _ in reader.stream_frames(
-                  video2, chunk=256, workers=int(best_workers)))
+                  video2, chunk=256, workers=int(best_workers),
+                  finish=pack_hook))
     # rebatch → one compiled bucket shape (as the phase-1 path does);
     # round-2's uncoalesced variant paid fresh small-bucket compiles
     # and measured 10.2 s for 36 embedded frames
@@ -345,15 +363,18 @@ def _overlap_benefit(model, params, cfg) -> dict:
     deduper.scatter(np.asarray(emb))
     dedup_s = time.perf_counter() - t0
 
-    # decode-only wall at the winning worker count: the host side of
-    # the overlap with no device or tunnel involvement. On production
-    # v5e-8 (PCIe host↔chip, no 35 MB/s tunnel) the i420 transfer is
-    # ~3 ms and the device path is device_path_s/8, so cold e2e is
-    # decode-bound: max(decode_only, device_path/8) is the honest
-    # projection for the BASELINE "<2 s p50 on v5e-8" bar.
+    # decode+pack wall at the winning worker count: the FULL host side
+    # of the overlap (decode, resize, i420 pack on the decode threads)
+    # with no device or tunnel involvement. On production v5e-8 (PCIe
+    # host↔chip, no 35 MB/s tunnel) the i420 transfer is ~3 ms and the
+    # device path is device_path_s/8, so cold e2e is host-bound:
+    # max(decode_only, device_path/8) is the honest projection for the
+    # BASELINE "<2 s p50 on v5e-8" bar. (Round 3 measured this WITHOUT
+    # the pack — the fused hook makes the measured wall the real one.)
     t0 = time.perf_counter()
     for _f, _t in reader.stream_frames(video, chunk=256,
-                                       workers=int(best_workers)):
+                                       workers=int(best_workers),
+                                       finish=pack_hook):
         pass
     decode_only_s = time.perf_counter() - t0
 

@@ -224,6 +224,23 @@ class TestGroundingLongVideo:
             p3._forward(rng.normal(size=(n, d)).astype(np.float32), text)
         assert p3._fwd._cache_size() == 1
 
+    def test_window_count_bucketed_compiles(self, tiny_stack):
+        """Past max_frames the WINDOW count pads to power-of-two
+        buckets too: one program serves every video length class in
+        the bucket instead of one compile per distinct window count
+        (round-3 advisor)."""
+        p1, p2, p3 = tiny_stack
+        rng = np.random.default_rng(3)
+        d = p1.engine.cfg.projection_dim
+        text = rng.normal(size=(d,)).astype(np.float32)
+        cap = p3.cfg.max_frames
+        # window counts 3, 4, 4 → all pad to the 4-window bucket
+        for n in (cap * 3, cap * 3 + cap // 2, cap * 4):
+            sal, _ = p3._forward(
+                rng.normal(size=(n, d)).astype(np.float32), text)
+            assert sal.shape == (n,) and np.isfinite(sal).all()
+        assert p3._fwd._cache_size() == 1
+
 
 def test_rerank_and_ground_spans_recorded(tiny_stack, test_video):
     """The advanced path's phase-2 and phase-3 stages appear in the
