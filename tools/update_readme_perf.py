@@ -73,11 +73,13 @@ def render(artifact: dict) -> str:
          "i420 codec)",
          f"p50 {_rng(spread, 'cold_e2e_p50_s', 2)} s across ledger "
          f"runs; **quiet-host p50 {_rng(spread, 'cold_quiet_s', 2)} s** "
-         f"(trials with 1-min load ≤ "
-         f"{_fmt(ce.get('quiet_load_threshold'), 1)}); best single "
+         f"(pre-section 1-min load ≤ "
+         f"{_fmt(ce.get('quiet_load_threshold'), 1)} and per-trial CPU "
+         "steal under threshold — sibling-VM pressure never shows in "
+         "loadavg); best single "
          f"trial {_rng(spread, 'cold_e2e_best_s', 2)} s. The "
-         "measurement host is a shared container — per-run load is in "
-         "the artifact's `history` ledger",
+         "measurement host is a shared 1-core VM — per-run load and "
+         "steal are in the artifact's `history` ledger",
          "`cold_e2e`, `history`"),
         ("decode-only wall (host side of the overlap, best workers)",
          f"{_rng(spread, 'decode_only_s', 2)} s per 600 frames",
