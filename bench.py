@@ -243,6 +243,23 @@ def main() -> None:
     }))
 
 
+def quiet_cold_p50(trials: list, load_at_section_start: float,
+                   quiet_load: float, quiet_steal_pct: float):
+    """Load-qualified cold p50 (None when the host wasn't quiet).
+
+    A trial is quiet when its CPU-steal fraction is at/below
+    ``quiet_steal_pct`` AND the pre-section 1-min load was at/below
+    ``quiet_load``. Per-trial loadavg is deliberately NOT a gate: the
+    bench's own decode workers inflate it (a 0.3-load host reads 4.8
+    mid-trials), and sibling-VM pressure shows up in steal/bandwidth,
+    never in this VM's loadavg."""
+    if load_at_section_start > quiet_load:
+        return None
+    quiet = sorted(t["s"] for t in trials
+                   if t.get("steal_pct", 0.0) <= quiet_steal_pct)
+    return quiet[len(quiet) // 2] if quiet else None
+
+
 def _overlap_benefit(model, params, cfg) -> dict:
     """MEASURED cold-path e2e on a synthetic 600-frame 1080p-decoded
     video: sequential (decode all → embed all) vs streaming (decode ∥
@@ -372,16 +389,8 @@ def _overlap_benefit(model, params, cfg) -> dict:
     membw_after = _membw_gbps()
     times = sorted(t["s"] for t in trials)
     cold_p50 = times[len(times) // 2]
-    # quiet qualification: pre-section co-tenant load (per-trial
-    # load_1m is self-inflated by the bench's own decode workers) AND
-    # per-trial steal time under threshold — a trial whose CPU was
-    # stolen by a sibling VM is not a quiet measurement even when our
-    # own loadavg reads 0
-    quiet = sorted(t["s"] for t in trials
-                   if t["steal_pct"] <= quiet_steal)
-    cold_p50_quiet = (quiet[len(quiet) // 2]
-                      if quiet and load_at_section_start <= quiet_load
-                      else None)
+    cold_p50_quiet = quiet_cold_p50(trials, load_at_section_start,
+                                    quiet_load, quiet_steal)
     stream_best = min(min(sweep.values()), times[0])
 
     # duplicate-frame gating on surveillance-style footage (static scene
@@ -884,7 +893,7 @@ def _supervised() -> None:
                 # v5e-8 projection included.
                 entry = _ledger_entry(result, carried)
                 history = prev.get("detail", {}).get("history", [])
-                history = (history + [entry])[-12:]
+                history = (history + [entry])[-24:]
                 result["detail"]["history"] = history
                 # ready-made spread over the ledger: min/max/n per
                 # host-bound secondary, so a single artifact field

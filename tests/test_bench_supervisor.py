@@ -119,7 +119,7 @@ class TestSupervised:
         """The driver tail-captures stdout: the line must stay small
         (round 3's 4 KB+ line came back ``parsed: null``) and detail
         must hold no nested per-run blobs."""
-        for i in range(12):      # fill the history ledger to max depth
+        for i in range(24):      # fill the history ledger to max depth
             run_supervised(_fresh(9000.0 + i))
         out, cache = run_supervised(_fresh(9100.0))
         line = json.dumps(out)
@@ -130,7 +130,7 @@ class TestSupervised:
         assert out["detail"]["full_detail"] == "BENCH_LAST_GOOD.json"
         # the full record (history included) still lives in the cache
         cached = json.loads(cache.read_text())
-        assert len(cached["detail"]["history"]) == 12
+        assert len(cached["detail"]["history"]) == 24
 
     def test_wedged_tunnel_reports_stale_last_good(self, run_supervised):
         run_supervised(_fresh(9000.0))
@@ -146,3 +146,25 @@ class TestSupervised:
             subprocess.TimeoutExpired(cmd="bench", timeout=1))
         assert out["value"] == 0.0
         assert "error" in out["detail"]
+
+
+def test_quiet_cold_p50_gating():
+    """Quiet qualification: pre-section load gates the whole section;
+    per-trial steal filters individual trials; per-trial load_1m (self-
+    inflated by the bench's own decode workers) must NOT disqualify."""
+    import bench
+
+    trials = [{"s": 3.0, "load_1m": 4.8, "steal_pct": 0.0},
+              {"s": 2.0, "load_1m": 4.2, "steal_pct": 1.2},
+              {"s": 9.0, "load_1m": 4.5, "steal_pct": 35.0},
+              {"s": 2.5, "load_1m": 4.1, "steal_pct": 0.3}]
+    # stormy section start -> no quiet number at all
+    assert bench.quiet_cold_p50(trials, 3.2, 1.0, 10.0) is None
+    # quiet start: the 35%-steal trial is excluded, p50 over the rest
+    assert bench.quiet_cold_p50(trials, 0.4, 1.0, 10.0) == 2.5
+    # all trials stolen -> None rather than a polluted p50
+    storm = [dict(t, steal_pct=50.0) for t in trials]
+    assert bench.quiet_cold_p50(storm, 0.4, 1.0, 10.0) is None
+    # trials without steal annotation (old artifacts) count as quiet
+    legacy = [{"s": 4.0, "load_1m": 0.5}]
+    assert bench.quiet_cold_p50(legacy, 0.2, 1.0, 10.0) == 4.0
