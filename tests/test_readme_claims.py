@@ -40,3 +40,45 @@ def test_generated_block_quotes_only_ledger_ranges():
                 "library_ms", "projection_s", "per_batch_sync_ms",
                 "yolo_fps", "cold_e2e_best_s"):
         assert key in bench.LEDGER_KEYS
+
+
+def test_readme_eval_block_matches_artifact():
+    from tools import update_readme_eval as gen
+
+    readme = (ROOT / "README.md").read_text()
+    assert gen.BEGIN in readme and gen.END in readme
+    committed = readme.split(gen.BEGIN, 1)[1].split(gen.END, 1)[0]
+    eval_path = ROOT / "EVAL.json"
+    assert eval_path.exists(), (
+        "EVAL.json missing — run python eval.py --mode all --out "
+        "EVAL.json (the committed accuracy artifact)")
+    rendered = gen.render(json.loads(eval_path.read_text()))
+    expected = rendered.split(gen.BEGIN, 1)[1].split(gen.END, 1)[0]
+    assert committed == expected, (
+        "README eval block is stale vs EVAL.json — run "
+        "python tools/update_readme_eval.py")
+
+
+def test_perf_generator_range_formatting():
+    from tools.update_readme_perf import _rng
+
+    spread = {"fps": {"min": 8442.3, "max": 8732.18, "n": 9},
+              "one": {"min": 2.0, "max": 2.0, "n": 1}}
+    assert _rng(spread, "fps", 0) == "8,442–8,732 (9 runs)"
+    assert _rng(spread, "one", 1) == "2 (1 run)"
+    assert _rng(spread, "absent") == "—"
+    assert _rng(None, "fps") == "—"
+
+
+def test_generators_render_from_partial_artifacts():
+    """Both generators must render (with em-dashes) from artifacts
+    missing whole sections — a half-populated ledger must never crash
+    the README pipeline."""
+    from tools import update_readme_eval, update_readme_perf
+
+    perf = update_readme_perf.render(
+        {"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 0.1,
+         "detail": {}})
+    assert update_readme_perf.BEGIN in perf and "—" in perf
+    ev = update_readme_eval.render({})
+    assert update_readme_eval.BEGIN in ev and "—" in ev
