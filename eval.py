@@ -263,7 +263,7 @@ def _draw(shape: str, color, rng, size: int = 32) -> np.ndarray:
     return np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
 
 
-def _train_tiny_clip(seed: int, steps: int):
+def _train_tiny_clip(seed: int, steps: int = 700):
     """Train a tiny CLIP contrastively on synthetic (shape image,
     caption) pairs; returns (engine, pairs, final_loss)."""
     import jax
@@ -283,7 +283,11 @@ def _train_tiny_clip(seed: int, steps: int):
     tok = Tokenizer(bpe_path=None, vocab_size=cfg.vocab_size,
                     context_len=cfg.max_text_len)
     model, params = init_clip(cfg, seed=seed)
-    tx = optax.adam(1e-3)
+    # warmup→cosine: the flat-1e-3 variant landed at seed-dependent
+    # plateaus (text p@1 swung 0.81–0.94 across eval runs); the decay
+    # tail converges the 16-class toy task reliably
+    tx = optax.adam(optax.warmup_cosine_decay_schedule(
+        0.0, 1.5e-3, warmup_steps=50, decay_steps=max(steps, 51)))
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
     pairs = [(s, cname) for s in SHAPES for cname in COLORS]
@@ -309,7 +313,7 @@ def _train_tiny_clip(seed: int, steps: int):
     return engine, pairs, float(loss)
 
 
-def eval_text_trained(seed: int = 0, steps: int = 400) -> dict:
+def eval_text_trained(seed: int = 0, steps: int = 700) -> dict:
     """Train a tiny CLIP contrastively on synthetic (shape image,
     caption) pairs, then measure text→video retrieval through the REAL
     phase-1 pipeline — the end-to-end proof that the whole path
@@ -355,7 +359,7 @@ def eval_text_trained(seed: int = 0, steps: int = 400) -> dict:
             "final_train_loss": float(loss)}
 
 
-def eval_library(seed: int = 0, steps: int = 400,
+def eval_library(seed: int = 0, steps: int = 700,
                  n_videos: int = 4) -> dict:
     """Cross-video accuracy of the device-resident library index: the
     16 trained (shape, color) classes are spread over ``n_videos``
@@ -449,7 +453,7 @@ def _shapes_wordpiece_vocab(path: str, cfg) -> None:
         f.write("\n".join(vocab))
 
 
-def eval_caption(seed: int = 0, steps: int = 400) -> dict:
+def eval_caption(seed: int = 0, steps: int = 700) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -479,7 +483,10 @@ def eval_caption(seed: int = 0, steps: int = 400) -> dict:
         return out
 
     model, params = init_blip(cfg, seed=seed)
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.warmup_cosine_decay_schedule(
+            0.0, 1.5e-3, warmup_steps=50, decay_steps=max(steps, 51))))
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     step = make_caption_train_step(model, cfg.pad_token_id)
 

@@ -60,14 +60,25 @@ class TestFaceFusion:
         det = self._det(ClipEngine(cfg=tiny_test_config(),
                                    params=params))
         e = np.eye(4, dtype=np.float32)
+        # identity agrees (cos 1), face disagrees (cos 0): with
+        # CONFIDENT face boxes on both sides the face cue fully
+        # participates, (1 + 1*0)/(1+1) = 0.5
         ref = {"identity": e[0], "face": e[1], "body": None,
-               "visual": None}
-        # identity agrees (cos 1), face disagrees (cos 0) → mean 0.5
+               "visual": None, "face_conf": 1.0}
         cand = {"identity": e[0], "face": e[2], "body": None,
-                "visual": None}
+                "visual": None, "face_conf": 1.0}
         sims = det.similarity(ref, cand)
         assert sims["face_similarity"] == pytest.approx(0.5)
         assert sims["similarity"] == pytest.approx(0.5)
+        # low-confidence candidate box → the face cosine is a
+        # comparison of wrong crops; the cue fades toward identity
+        cand_low = dict(cand, face_conf=0.0)
+        sims = det.similarity(ref, cand_low)
+        assert sims["face_similarity"] == pytest.approx(1.0)
+        # legacy feature dicts without face_conf behave like w=0
+        ref.pop("face_conf"), cand.pop("face_conf")
+        sims = det.similarity(ref, cand)
+        assert sims["face_similarity"] == pytest.approx(1.0)
 
     def test_single_cue_degrades_gracefully(self, tiny_clip):
         from avede_tpu.models.clip import tiny_test_config
