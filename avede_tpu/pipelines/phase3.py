@@ -137,9 +137,7 @@ class Phase3Temporal:
         out = []
         for c in candidates:
             i = int(np.argmin(np.abs(ts_arr - c["timestamp"])))
-            left, right = off[i]
-            start = max(0.0, float(ts_arr[i] - left * dt))
-            end = float(ts_arr[i] + right * dt)
+            start, end = _run_averaged_bounds(prob, off, ts_arr, dt, i)
             if end - start < dt:
                 end = start + dt
             conf = float(c["confidence"] * (0.5 + 0.5 * prob[i]))
@@ -172,8 +170,8 @@ class Phase3Temporal:
         order = np.argsort(prob)[::-1][: top_k * 4]
         segs = []
         for i in order:
-            start = max(0.0, float(ts_arr[i] - off[i, 0] * dt))
-            end = float(ts_arr[i] + max(off[i, 1], 1.0) * dt)
+            start, end = _run_averaged_bounds(prob, off, ts_arr, dt, i)
+            end = max(end, start + dt)
             segs.append({"timestamp": float(ts_arr[i]),
                          "start_time": start, "end_time": end,
                          "duration": end - start,
@@ -183,6 +181,40 @@ class Phase3Temporal:
         segs = temporal_consistency(segs)
         segs.sort(key=lambda s: s["confidence"], reverse=True)
         return segs[:top_k]
+
+
+def _run_averaged_bounds(prob: np.ndarray, off: np.ndarray,
+                         ts_arr: np.ndarray, dt: float, i: int,
+                         thresh: float = 0.5):
+    """Segment boundaries for anchor ``i``, saliency-weighted over the
+    contiguous foreground run around it.
+
+    Every foreground frame is trained to regress the SAME segment
+    boundaries (its own offsets to start/end), so averaging the
+    per-frame predictions across the run cancels regression noise the
+    single-anchor readout keeps — the difference between clearing
+    tIoU@0.5 and tIoU@0.7 on segments a few frames long. Clamped so
+    the anchor stays inside the segment (service invariant)."""
+    n = len(ts_arr)
+    lo = i
+    while lo - 1 >= 0 and prob[lo - 1] >= thresh:
+        lo -= 1
+    hi = i
+    while hi + 1 < n and prob[hi + 1] >= thresh:
+        hi += 1
+    idx = np.arange(lo, hi + 1)
+    w = prob[idx]
+    if idx.size >= 2 and float(w.sum()) > 0.0:
+        start = float(np.average(ts_arr[idx] - off[idx, 0] * dt,
+                                 weights=w))
+        end = float(np.average(ts_arr[idx] + off[idx, 1] * dt,
+                               weights=w))
+    else:
+        start = float(ts_arr[i] - off[i, 0] * dt)
+        end = float(ts_arr[i] + off[i, 1] * dt)
+    start = min(max(0.0, start), float(ts_arr[i]))
+    end = max(end, float(ts_arr[i]))
+    return start, end
 
 
 def temporal_consistency(results: List[Dict]) -> List[Dict]:
