@@ -10,8 +10,13 @@ define the format. Defined here, versioned:
   int8 [N, D] + ``scales`` f32 [N] — symmetric per-row quantization
   (``ops/quant.py``), 4× smaller library storage at ≲1e-3 cosine error
 - ``timestamps``  float64 [N]    — seconds per sampled frame
+- ``valid``       bool [N]       — OPTIONAL row mask: present only for
+  sparse entries (the sparse cold scan embeds window-middle rows only;
+  unfilled rows are zero vectors until the lazy backfill completes
+  them — ``complete_rows``)
 - ``meta``        JSON bytes     — {version, model_tag, frame_hw,
-                                    sample_rate, dtype, created}
+                                    sample_rate, dtype, complete,
+                                    created}
 
 A cache entry is valid only if model tag + sampling parameters match —
 the analog of the reference ModelCache's config-hash validation
@@ -58,16 +63,17 @@ class EmbeddingCache:
         # model_cache.py:233-413): library search hits every table per
         # query — without this, each warm query re-reads and
         # re-dequantizes every .npz from disk. Bounded by bytes, LRU.
-        self._mem: "OrderedDict[tuple, Tuple[np.ndarray, List[float]]]" \
-            = OrderedDict()
+        # Values are (emb, ts, valid) — ``valid`` is None for complete
+        # tables, else a bool row mask (sparse cold-scan entries).
+        self._mem: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._mem_bytes = 0
         self._mem_lock = threading.Lock()
 
     def _path(self, video_id: str) -> Path:
         return self.dir / f"{video_id}.npz"
 
-    def _mem_put(self, key: tuple, emb: np.ndarray,
-                 ts: List[float]) -> None:
+    def _mem_put(self, key: tuple, emb: np.ndarray, ts: List[float],
+                 valid: Optional[np.ndarray] = None) -> None:
         cap = settings.EMBEDDING_MEM_CACHE_MB * (1 << 20)
         if cap <= 0 or emb.nbytes > cap:
             return
@@ -75,10 +81,10 @@ class EmbeddingCache:
             if key in self._mem:
                 self._mem_bytes -= self._mem[key][0].nbytes
                 del self._mem[key]
-            self._mem[key] = (emb, ts)
+            self._mem[key] = (emb, ts, valid)
             self._mem_bytes += emb.nbytes
             while self._mem_bytes > cap and self._mem:
-                _, (old, _ts) = self._mem.popitem(last=False)
+                _, (old, _ts, _v) = self._mem.popitem(last=False)
                 self._mem_bytes -= old.nbytes
 
     def _mem_drop(self, video_id: str) -> None:
@@ -89,13 +95,24 @@ class EmbeddingCache:
 
     def put(self, video_id: str, embeddings: np.ndarray,
             timestamps: List[float], model_tag: str,
-            frame_hw: Tuple[int, int], sample_rate: int) -> np.ndarray:
+            frame_hw: Tuple[int, int], sample_rate: int,
+            valid: Optional[np.ndarray] = None) -> np.ndarray:
         """Store the table; returns the CANONICAL stored values (the
         int8 round trip when quantization is on), so callers that keep
         using the table in memory agree exactly with later cache
         reads — near-tie result ordering stays deterministic across
-        cold and warm queries."""
+        cold and warm queries.
+
+        ``valid`` (bool [N]) marks a SPARSE entry: only masked rows
+        hold real embeddings (the sparse cold scan embeds window
+        middles only — ``Phase1Scan``); an all-true or None mask stores
+        a complete table. ``get`` serves complete entries only;
+        ``get_entry`` also serves sparse ones."""
         emb = np.ascontiguousarray(np.asarray(embeddings, dtype=np.float32))
+        if valid is not None:
+            valid = np.asarray(valid, dtype=bool)
+            if bool(valid.all()):
+                valid = None
         int8 = settings.EMBEDDING_CACHE_INT8
         meta = {
             "version": FORMAT_VERSION,
@@ -103,6 +120,7 @@ class EmbeddingCache:
             "frame_hw": list(frame_hw),
             "sample_rate": int(sample_rate),
             "dtype": "int8" if int8 else "float32",
+            "complete": valid is None,
             "created": time.time(),
         }
         path = self._path(video_id)
@@ -111,11 +129,12 @@ class EmbeddingCache:
             "meta": np.frombuffer(json.dumps(meta).encode(),
                                   dtype=np.uint8),
         }
+        if valid is not None:
+            arrays["valid"] = valid
         if int8 and len(emb):
-            from ..ops.quant import quantize_per_channel
+            from ..ops.quant import quantize_rows_np
 
-            q, scales = quantize_per_channel(emb.T)   # per-ROW scales
-            q, scales = np.asarray(q).T, np.asarray(scales)
+            q, scales = quantize_rows_np(emb)         # per-ROW scales
             arrays["embeddings_int8"] = q
             arrays["scales"] = scales
             emb = q.astype(np.float32) * scales[:, None]
@@ -126,19 +145,36 @@ class EmbeddingCache:
         # one file per video: entries under any other tag/rate are now
         # stale in the memory tier too
         self._mem_drop(video_id)
-        self._mem_put((video_id, model_tag, int(sample_rate)), emb, ts_list)
-        logger.info("Cached %d embeddings for %s (%s)", len(emb), video_id,
-                    model_tag)
+        self._mem_put((video_id, model_tag, int(sample_rate)), emb,
+                      ts_list, valid)
+        logger.info("Cached %d embeddings for %s (%s%s)", len(emb),
+                    video_id, model_tag,
+                    "" if valid is None
+                    else f", sparse {int(valid.sum())}/{len(valid)} rows")
         return emb
 
     def get(self, video_id: str, model_tag: str, sample_rate: int
             ) -> Optional[Tuple[np.ndarray, List[float]]]:
+        """Complete tables only — sparse cold-scan entries (see ``put``)
+        are invisible here, so every pre-existing consumer keeps its
+        all-rows-are-real contract. ``get_entry`` serves both."""
+        ent = self.get_entry(video_id, model_tag, sample_rate)
+        if ent is None or ent[2] is not None:
+            return None
+        return ent[0], ent[1]
+
+    def get_entry(self, video_id: str, model_tag: str, sample_rate: int
+                  ) -> Optional[Tuple[np.ndarray, List[float],
+                                      Optional[np.ndarray]]]:
+        """→ (emb, ts, valid) — ``valid`` is None for complete tables,
+        else the bool row mask of a sparse entry (unfilled rows are
+        zero vectors)."""
         key = (video_id, model_tag, int(sample_rate))
         with self._mem_lock:
             if key in self._mem:
                 self._mem.move_to_end(key)
-                emb, ts = self._mem[key]
-                return emb, list(ts)
+                emb, ts, valid = self._mem[key]
+                return emb, list(ts), valid
         path = self._path(video_id)
         if not path.exists():
             return None
@@ -157,11 +193,48 @@ class EmbeddingCache:
                 else:
                     emb = np.asarray(z["embeddings"], np.float32)
                 ts = [float(t) for t in z["timestamps"]]
-                self._mem_put(key, emb, ts)
-                return emb, ts
+                valid = (np.asarray(z["valid"], bool)
+                         if not meta.get("complete", True) else None)
+                self._mem_put(key, emb, ts, valid)
+                return emb, ts, valid
         except (OSError, ValueError, KeyError, json.JSONDecodeError) as exc:
             logger.warning("Corrupt embedding cache for %s: %s", video_id, exc)
             return None
+
+    def complete_rows(self, video_id: str, model_tag: str,
+                      sample_rate: int, rows: np.ndarray,
+                      row_idx: np.ndarray,
+                      frame_hw: Optional[Tuple[int, int]] = None
+                      ) -> Optional[np.ndarray]:
+        """Fill rows of a sparse entry (lazy backfill of a sparse cold
+        scan — ``Phase1Scan.frame_embeddings(rows="full")``). Returns
+        the canonical merged table (complete if every row is now
+        valid), or None when no entry exists under this key.
+
+        Merging re-quantizes the whole table; the per-row amax/127
+        scheme is exactly idempotent on already-round-tripped rows, so
+        previously-stored rows keep their byte-identical values."""
+        ent = self.get_entry(video_id, model_tag, sample_rate)
+        if ent is None:
+            return None
+        emb, ts, valid = ent
+        if valid is None:
+            return emb                      # already complete
+        if frame_hw is None:
+            frame_hw = (0, 0)
+            try:
+                with np.load(self._path(video_id)) as z:
+                    meta = json.loads(bytes(z["meta"].tobytes()).decode())
+                    frame_hw = tuple(meta.get("frame_hw", (0, 0)))
+            except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                pass
+        merged = np.array(emb, dtype=np.float32, copy=True)
+        row_idx = np.asarray(row_idx, dtype=np.int64)
+        merged[row_idx] = np.asarray(rows, dtype=np.float32)
+        new_valid = valid.copy()
+        new_valid[row_idx] = True
+        return self.put(video_id, merged, ts, model_tag, frame_hw,
+                        sample_rate, valid=new_valid)
 
     def invalidate(self, video_id: str) -> None:
         self._mem_drop(video_id)

@@ -58,23 +58,66 @@ class Phase1Scan:
         return table_tag(self.engine.model_tag)
 
     # ------------------------------------------------------------------
-    def frame_embeddings(self, video_path: str, video_id: Optional[str] = None
+    def frame_embeddings(self, video_path: str,
+                         video_id: Optional[str] = None,
+                         rows: str = "full"
                          ) -> Tuple[np.ndarray, List[float]]:
-        """Embeddings+timestamps for all sampled frames, cache-aware.
+        """Embeddings+timestamps for sampled frames, cache-aware.
+
+        ``rows="full"`` (default): every sampled frame's row is real —
+        the contract every pre-existing consumer (phase-3 grounding,
+        library ingest) relies on. ``rows="scan"``: only the rows
+        phase-1 scoring ever reads (window MIDDLE frames,
+        ``ops/windows.py``) are guaranteed; with
+        ``settings.SCAN_SPARSE_COLD`` the cold path then embeds ~1/8 of
+        the frames — proportionally less host→device transfer (the
+        cold-scan wall on bandwidth-limited links) AND less ViT work —
+        and stores a sparse cache entry that full-table consumers
+        complete lazily from scan retention (no second decode).
 
         Cold path overlaps decode with embed: ``stream_frames`` chunks
         feed ``embed_stream`` through a prefetch thread, so the device
         embeds chunk *i* while the host decodes chunk *i+1* (round-1
         verdict item 4 — decode/embed were strictly sequential)."""
         vid = video_id or _default_video_id(video_path)
-        eps = settings.SCAN_DEDUP_EPS
         tag = self.cache_tag()
         if self.cache is not None:
-            hit = self.cache.get(vid, tag, self.reader.sample_rate)
-            if hit is not None:
-                logger.info("Embedding cache hit for %s (%d frames)",
-                            vid, len(hit[0]))
-                return hit
+            ent = self.cache.get_entry(vid, tag, self.reader.sample_rate)
+            if ent is not None:
+                emb, ts_hit, valid = ent
+                if valid is None:
+                    logger.info("Embedding cache hit for %s (%d frames)",
+                                vid, len(emb))
+                    return emb, ts_hit
+                if rows == "scan" and self._scan_rows_valid(valid):
+                    logger.info(
+                        "Sparse embedding cache hit for %s (%d/%d rows)",
+                        vid, int(valid.sum()), len(valid))
+                    return emb, ts_hit
+                done = self._complete_table(video_path, vid, tag, emb,
+                                            ts_hit, valid)
+                if done is not None:
+                    return done, ts_hit
+                # retention gone AND decode fallback failed: rescan dense
+                logger.warning("Sparse entry for %s could not be "
+                               "completed — rescanning", vid)
+        size = self.engine.cfg.image_size
+        fused = (settings.SCAN_FUSED_PACK
+                 and settings.SCAN_TRANSFER == "i420"
+                 and size % 4 == 0)
+        if rows == "scan" and settings.SCAN_SPARSE_COLD and fused:
+            return self._scan_sparse(video_path, vid, tag, size)
+        return self._scan_dense(video_path, vid, tag, size, fused)
+
+    def _scan_rows_valid(self, valid: np.ndarray) -> bool:
+        mids = window_middle_indices(len(valid), settings.WINDOW_SIZE,
+                                     settings.WINDOW_STRIDE)
+        return bool(valid[mids].all()) if len(mids) else True
+
+    def _scan_dense(self, video_path: str, vid: str, tag: str,
+                    size: int, fused: bool
+                    ) -> Tuple[np.ndarray, List[float]]:
+        eps = settings.SCAN_DEDUP_EPS
         ts: List[float] = []
         shape: List[Tuple[int, int]] = []
         # fused pack: the compact-transfer i420 pack runs ON the decode
@@ -85,10 +128,6 @@ class Phase1Scan:
         # embeddings and cache tags are unchanged. Retention keeps the
         # BGR scan-geometry chunks; lookup converts the K rerank
         # candidates back to RGB at identical pixel values.
-        size = self.engine.cfg.image_size
-        fused = (settings.SCAN_FUSED_PACK
-                 and settings.SCAN_TRANSFER == "i420"
-                 and size % 4 == 0)
         finish = None
         if fused:
             from ..ops.preprocess import pack_frames_i420
@@ -148,6 +187,187 @@ class Phase1Scan:
         return emb, ts
 
     # ------------------------------------------------------------------
+    def _scan_sparse(self, video_path: str, vid: str, tag: str,
+                     size: int) -> Tuple[np.ndarray, List[float]]:
+        """Cold scan that embeds ONLY window-middle rows.
+
+        The whole video still decodes once (retention needs every
+        sampled frame for the reranker and the lazy backfill), but only
+        ~1/8 of the frames are packed, transferred, and pushed through
+        the ViT — on a bandwidth-limited host↔device link the transfer
+        IS the cold wall, so this is a near-linear latency cut with
+        phase-1 results unchanged by construction (scoring reads middle
+        rows only). Middle indices come from the container's metadata
+        frame count; if the decode yields a different count (broken
+        metadata), the delta rows are embedded from retention before
+        the table is stored."""
+        from ..ops.preprocess import pack_frames_i420
+
+        eps = settings.SCAN_DEDUP_EPS
+        n_exp = self.reader.expected_sample_count(video_path)
+        sel = np.unique(window_middle_indices(
+            n_exp, settings.WINDOW_SIZE, settings.WINDOW_STRIDE)
+        ).astype(np.int64)
+        ts: List[float] = []
+        shape: List[Tuple[int, int]] = []
+        sel_order: List[int] = []
+
+        def finish(bgr, chunk_ts):      # decode threads: retain only
+            if not shape:
+                shape.append(bgr.shape[1:3])
+            self.retention.add(vid, bgr, chunk_ts)
+            return bgr
+
+        deduper = (FrameDeduper(
+            eps, signature_fn=lambda f: _dedup_sigs(f[:, :size]))
+            if eps > 0 else None)
+        self.retention.begin(vid, color="bgr")
+
+        def chunks():
+            off = 0
+            for bgr, chunk_ts in self.reader.stream_frames(
+                    video_path, chunk=settings.STREAM_CHUNK_FRAMES,
+                    finish=finish):
+                lo, off = off, off + len(bgr)
+                ts.extend(chunk_ts)
+                take = sel[(sel >= lo) & (sel < off)] - lo
+                if len(take) == 0:
+                    continue
+                sel_order.extend((take + lo).tolist())
+                packed = pack_frames_i420(
+                    np.ascontiguousarray(bgr[take]), size, src="bgr")
+                if deduper is not None:
+                    packed = deduper.filter(packed)
+                    if len(packed) == 0:
+                        continue
+                yield packed
+
+        with trace("phase1.decode_embed"):
+            stream = chunks()
+            if deduper is not None:
+                stream = rebatch(stream, settings.STREAM_CHUNK_FRAMES)
+            emb_sel = self.engine.embed_stream(stream)
+        if deduper is not None:
+            emb_sel = deduper.scatter(emb_sel)
+            if deduper.n_unique < deduper.n_total:
+                logger.info(
+                    "Scan dedup: embedded %d/%d middle frames "
+                    "(%.0f%% duplicate)", deduper.n_unique,
+                    deduper.n_total,
+                    100 * (1 - deduper.n_unique / deduper.n_total))
+        n = len(ts)
+        dim = (emb_sel.shape[1] if len(emb_sel)
+               else self.engine.cfg.projection_dim)
+        table = np.zeros((n, dim), np.float32)
+        valid = np.zeros(n, bool)
+        idx = np.asarray(sel_order, np.int64)
+        table[idx] = np.asarray(emb_sel, np.float32)
+        valid[idx] = True
+        logger.info("Sparse cold scan for %s: embedded %d/%d rows",
+                    vid, len(idx), n)
+        # metadata drift: the real count defines the windows
+        missing = window_middle_indices(n, settings.WINDOW_SIZE,
+                                        settings.WINDOW_STRIDE)
+        missing = np.unique(missing[~valid[missing]])
+        if len(missing):
+            logger.info("Metadata count %d vs decoded %d for %s — "
+                        "embedding %d extra middle rows", n_exp, n,
+                        vid, len(missing))
+            got = self._embed_rows_from_retention(vid, ts, missing)
+            if got is None:     # retention blew budget mid-scan: rare
+                fused = True    # sparse requires the fused path
+                return self._scan_dense(video_path, vid, tag, size,
+                                        fused)
+            table[missing] = got
+            valid[missing] = True
+        if self.cache is not None:
+            table = self.cache.put(
+                vid, table, ts, tag, shape[0] if shape else (0, 0),
+                self.reader.sample_rate, valid=valid)
+        return table, ts
+
+    def _embed_rows_from_retention(self, vid: str, ts: List[float],
+                                   idx: np.ndarray
+                                   ) -> Optional[np.ndarray]:
+        """Embed table rows ``idx`` from retained scan frames (RGB on
+        lookup — pixel-identical to the decode-thread pack)."""
+        from ..io.frame_retention import ts_key
+
+        frames = self.retention.lookup(vid, [ts[i] for i in idx])
+        if len(frames) < len(idx):
+            return None
+        arr = np.stack([frames[ts_key(ts[i])] for i in idx])
+        return self.engine.embed_frames(arr)
+
+    def _complete_table(self, video_path: str, vid: str, tag: str,
+                        emb: np.ndarray, ts: List[float],
+                        valid: np.ndarray) -> Optional[np.ndarray]:
+        """Lazy backfill of a sparse cache entry: embed every missing
+        row (retention first, one streaming re-decode as fallback) and
+        merge into the cached table. Backfill rows are embedded
+        EXACTLY (no dedup gating — they are off the latency path), so
+        completed tables are at least as accurate as a dense scan's."""
+        missing = np.where(~valid)[0]
+        if len(missing) == 0:
+            return emb
+        with trace("phase1.backfill"):
+            rows = self._embed_rows_from_retention(vid, ts, missing)
+            if rows is None:
+                rows = self._embed_rows_by_decode(video_path, missing)
+            if rows is None or len(rows) != len(missing):
+                return None
+            logger.info("Backfilled %d/%d rows for %s", len(missing),
+                        len(valid), vid)
+            if self.cache is not None:
+                merged = self.cache.complete_rows(
+                    vid, tag, self.reader.sample_rate, rows, missing)
+                if merged is not None:
+                    return merged
+            merged = np.array(emb, np.float32, copy=True)
+            merged[missing] = rows
+            return merged
+
+    def _embed_rows_by_decode(self, video_path: str, idx: np.ndarray
+                              ) -> Optional[np.ndarray]:
+        """Streaming re-decode that embeds only global rows ``idx`` —
+        the backfill fallback when retention no longer holds the scan
+        frames (evicted by a later video, or over budget)."""
+        from ..ops.preprocess import pack_frames_i420, pack_frames_rgb
+
+        size = self.engine.cfg.image_size
+        i420 = settings.SCAN_TRANSFER == "i420" and size % 4 == 0
+        sel = np.unique(np.asarray(idx, np.int64))
+        order: List[int] = []
+
+        def chunks():
+            off = 0
+            for bgr, _ts in self.reader.stream_frames(
+                    video_path, chunk=settings.STREAM_CHUNK_FRAMES,
+                    finish=lambda f, t: f):
+                lo, off = off, off + len(bgr)
+                take = sel[(sel >= lo) & (sel < off)] - lo
+                if len(take) == 0:
+                    continue
+                order.extend((take + lo).tolist())
+                part = np.ascontiguousarray(bgr[take])
+                yield (pack_frames_i420(part, size, src="bgr") if i420
+                       else pack_frames_rgb(part[..., ::-1], size))
+
+        try:
+            emb = self.engine.embed_stream(rebatch(
+                chunks(), settings.STREAM_CHUNK_FRAMES))
+        except Exception as exc:  # noqa: BLE001 — caller rescans dense
+            logger.warning("Backfill decode failed for %s: %s",
+                           video_path, exc)
+            return None
+        if len(emb) != len(sel) or list(sel) != order:
+            return None
+        # map back to the caller's (possibly unsorted) idx order
+        pos = {int(g): i for i, g in enumerate(order)}
+        return np.asarray(emb, np.float32)[
+            [pos[int(g)] for g in np.asarray(idx, np.int64)]]
+
+    # ------------------------------------------------------------------
     def process_video(self, video_path: str, query: str,
                       top_k: Optional[int] = None,
                       threshold: Optional[float] = None,
@@ -157,7 +377,8 @@ class Phase1Scan:
         threshold = (settings.CONFIDENCE_THRESHOLD if threshold is None
                      else threshold)
 
-        emb, ts = self.frame_embeddings(video_path, video_id)
+        emb, ts = self.frame_embeddings(video_path, video_id,
+                                        rows="scan")
         n = len(emb)
         mids = window_middle_indices(n, settings.WINDOW_SIZE,
                                      settings.WINDOW_STRIDE)
@@ -204,7 +425,8 @@ class Phase1Scan:
         top_k = top_k or settings.TOP_K_RESULTS
         threshold = (settings.CONFIDENCE_THRESHOLD if threshold is None
                      else threshold)
-        emb, ts = self.frame_embeddings(video_path, video_id)
+        emb, ts = self.frame_embeddings(video_path, video_id,
+                                        rows="scan")
         mids = window_middle_indices(len(emb), settings.WINDOW_SIZE,
                                      settings.WINDOW_STRIDE)
         wts = window_timestamps(ts, settings.WINDOW_SIZE,

@@ -104,6 +104,15 @@ class Settings(BaseModel):
     # matrix — byte-identical output) instead of serialized on the
     # prefetch thread; retention stores BGR and converts the K rerank
     # candidates back to RGB on lookup. Off = round-3 behavior.
+    SCAN_SPARSE_COLD: bool = True  # cold MVP scan embeds ONLY window-
+    # middle frames (the only rows phase-1 scoring ever reads —
+    # ops/windows.py): ~8× less host→device transfer AND ~8× less ViT
+    # work on the latency path. The cached table is stored sparse
+    # (valid-row mask); full-table consumers (phase-3 grounding,
+    # library ingest, multi-image matching) complete the missing rows
+    # lazily from scan retention — no second decode. Requires the
+    # fused i420 pack path; dense scan otherwise. Off = embed every
+    # sampled frame on the cold path (round-3 behavior).
     TEXT_EMBED_CACHE: int = 512   # LRU entries; 0 disables
     EMBEDDING_MEM_CACHE_MB: int = 256   # in-memory table tier; 0 disables
     EMBEDDING_CACHE_INT8: bool = True   # per-row int8 cache entries
