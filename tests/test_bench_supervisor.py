@@ -103,6 +103,29 @@ class TestSupervised:
         assert spread["advanced_warm_ms"]["min"] == 180.0
         assert spread["tiled_4k_fps"]["n"] == 2
 
+    def test_cold_spread_is_regime_scoped(self, run_supervised):
+        """Sparse-scan runs embed ~1/8 of the frames: their cold
+        numbers describe a different program than dense-era runs, so
+        across_runs cold ranges must cover only the CURRENT scan mode
+        (full history still ledgers both)."""
+        run_supervised(_fresh(9000.0, cold_p50=8.0))       # dense era
+        sparse = _fresh(8800.0, cold_p50=2.0)
+        sparse["detail"]["cold_e2e"]["scan_mode"] = "sparse"
+        sparse["detail"]["cold_e2e"]["embedded_rows"] = 74
+        _, cache = run_supervised(sparse)
+        cached = json.loads(cache.read_text())
+        spread = cached["detail"]["across_runs"]
+        assert spread["cold_scan_mode"] == "sparse"
+        # cold keys: sparse-era only
+        assert spread["cold_e2e_p50_s"] == {"min": 2.0, "max": 2.0,
+                                            "n": 1}
+        # regime-independent keys still span both runs
+        assert spread["fps"]["n"] == 2
+        assert spread["advanced_warm_ms"]["n"] == 2
+        hist = cached["detail"]["history"]
+        assert [h["scan_mode"] for h in hist] == ["dense", "sparse"]
+        assert hist[-1]["embedded_rows"] == 74
+
     def test_missing_secondary_carried_forward(self, run_supervised):
         run_supervised(_fresh(9000.0))
         crippled = _fresh(9100.0)

@@ -69,8 +69,10 @@ def render(artifact: dict) -> str:
         ("YOLOv8n detect + padded NMS, bf16, batch 64 @640px",
          f"{_rng(spread, 'yolo_fps', 0)} frames/sec/chip",
          "`yolov8n_detect_nms_fps`"),
-        ("**cold** 600-frame query e2e (decode∥pack∥transfer∥embed, "
-         "i420 codec)",
+        ("**cold** 600-frame query e2e (full decode ∥ pack∥transfer∥"
+         "embed of the scored rows, i420 codec, "
+         f"`{spread.get('cold_scan_mode', 'dense')}` scan — "
+         f"{_fmt(ce.get('embedded_rows'))} rows embedded latest run)",
          f"p50 {_rng(spread, 'cold_e2e_p50_s', 2)} s across ledger "
          f"runs; **quiet-host p50 {_rng(spread, 'cold_quiet_s', 2)} s** "
          f"(pre-section 1-min load ≤ "
@@ -126,9 +128,12 @@ def render(artifact: dict) -> str:
         "",
         "Every number below is rendered from the driver artifact "
         "(`BENCH_LAST_GOOD.json`); ranges are min–max over its per-run "
-        "`history` ledger. Nothing is quoted from a one-off run or "
-        "from memory — `tests/test_readme_claims.py` fails if this "
-        "table and the artifact disagree.",
+        "`history` ledger. Cold-scan rows cover only runs measured "
+        "under the current scan regime (`across_runs.cold_scan_mode` — "
+        "sparse embeds ~1/8 of the frames, so mixing regimes would "
+        "describe no real product). Nothing is quoted from a one-off "
+        "run or from memory — `tests/test_readme_claims.py` fails if "
+        "this table and the artifact disagree.",
         "",
         "| metric | value | artifact field |",
         "|---|---|---|",
