@@ -34,9 +34,11 @@ class Phase4ImageMatching:
 
     def __init__(self, engine: ClipEngine,
                  matcher: Optional[ImageMatcher] = None,
-                 clip_writer: Optional[ClipWriter] = None) -> None:
+                 clip_writer: Optional[ClipWriter] = None,
+                 cache=None) -> None:
         self.engine = engine
         self._matcher = matcher
+        self._cache = cache
         self.clip_writer = clip_writer or ClipWriter()
         self.stats = {"queries": 0, "matches": 0, "seconds": 0.0,
                       "by_mode": {}}
@@ -44,7 +46,11 @@ class Phase4ImageMatching:
     @property
     def matcher(self) -> ImageMatcher:
         if self._matcher is None:
-            self._matcher = ImageMatcher(self.engine)
+            # share the facade's embedding cache INSTANCE (not just its
+            # directory): sparse-entry upgrades done here must land in
+            # the same in-memory tier phase-1/3 read, or their stale
+            # sparse copy triggers a redundant backfill later
+            self._matcher = ImageMatcher(self.engine, cache=self._cache)
         return self._matcher
 
     # ------------------------------------------------------------------

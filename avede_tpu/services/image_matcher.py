@@ -92,9 +92,21 @@ class ImageMatcher:
         # image-match perpetually clobber each other's warm entry
         tag = table_tag(self.engine.model_tag)
         if self.cache is not None and video_id is not None:
-            hit = self.cache.get(video_id, tag, self.reader.sample_rate)
-            if hit is not None and len(hit[0]) == len(frames):
-                emb = hit[0]
+            ent = self.cache.get_entry(video_id, tag,
+                                       self.reader.sample_rate)
+            if ent is not None and len(ent[0]) == len(frames):
+                table, _ts, valid = ent
+                if valid is None:
+                    emb = table
+                else:
+                    # sparse cold-scan entry: the frames are already in
+                    # hand here, so embed ONLY the missing rows and
+                    # upgrade the entry to complete — no full re-embed
+                    missing = np.where(~valid)[0]
+                    rows = self.engine.embed_frames(frames[missing])
+                    emb = self.cache.complete_rows(
+                        video_id, tag, self.reader.sample_rate,
+                        rows, missing, frame_hw=frames.shape[1:3])
         if emb is None:
             emb = self.engine.embed_frames(frames)
             if self.cache is not None and video_id is not None:

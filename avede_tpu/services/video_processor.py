@@ -74,7 +74,8 @@ class VideoProcessor:
         if self._image_matching is None:
             from ..pipelines.phase4 import Phase4ImageMatching
 
-            self._image_matching = Phase4ImageMatching(self.engine)
+            self._image_matching = Phase4ImageMatching(
+                self.engine, cache=self.phase1.cache)
         return self._image_matching
 
     @property

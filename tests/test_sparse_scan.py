@@ -150,6 +150,45 @@ class TestSparseScan:
         assert len(res) > 0
 
 
+class TestImageMatcherSparseSynergy:
+    def test_frame_data_completes_sparse_entry(self, test_video,
+                                               tiny_engine, tmp_path,
+                                               monkeypatch):
+        """ImageMatcher holds every decoded frame already, so a sparse
+        cold-scan entry must be completed by embedding ONLY the missing
+        rows (and upgraded on disk), never re-embedded wholesale."""
+        from avede_tpu.services.image_matcher import ImageMatcher
+
+        monkeypatch.setattr(settings, "SCAN_DEDUP_EPS", 0.0)
+        monkeypatch.setattr(settings, "SCAN_SPARSE_COLD", True)
+        scan = _scan(tiny_engine, tmp_path, "im")
+        scan.frame_embeddings(test_video, video_id="v", rows="scan")
+        tag = scan.cache_tag()
+        assert scan.cache.get("v", tag, scan.reader.sample_rate) is None
+
+        matcher = ImageMatcher(tiny_engine, reader=scan.reader,
+                               cache=scan.cache)
+        calls = []
+        real_embed = tiny_engine.embed_frames
+
+        def spy(frames):
+            calls.append(len(frames))
+            return real_embed(frames)
+
+        monkeypatch.setattr(tiny_engine, "embed_frames", spy)
+        frames, ts, emb = matcher._frame_data(test_video, "v")
+        # only the missing rows were embedded, not the whole video
+        ent = scan.cache.get_entry("v", tag, scan.reader.sample_rate)
+        assert ent is not None and ent[2] is None     # complete now
+        assert len(calls) == 1 and calls[0] < len(frames)
+        assert len(emb) == len(frames)
+        # agrees with a dense scan
+        monkeypatch.setattr(settings, "SCAN_SPARSE_COLD", False)
+        dense = _scan(tiny_engine, tmp_path, "im2")
+        emb_d, _ = dense.frame_embeddings(test_video, video_id="v2")
+        np.testing.assert_allclose(emb, emb_d, atol=1e-5)
+
+
 class TestCacheSparseFormat:
     def test_round_trip_and_complete_rows(self, tmp_path):
         from avede_tpu.io.embedding_cache import EmbeddingCache
