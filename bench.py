@@ -283,6 +283,19 @@ def _overlap_benefit(model, params, cfg) -> dict:
     # bench's OWN 8-16 decode workers (observed: a 0.3-load host reads
     # 4.8 mid-trials), so the quiet-host qualification must gate on
     # this pre-section sample, not the per-trial ones.
+    #
+    # At this point the 1-min loadavg still carries the decaying shadow
+    # of the bench's OWN earlier sections (YOLO tile prep, warm-query
+    # timing): an otherwise-idle box sampled 1.08 against the 1.0 gate
+    # and nulled the quiet p50 for the whole run. Wait out the shadow,
+    # bounded so later sections keep their budget; a genuinely busy
+    # host stays above the gate and still records an honest null.
+    quiet_gate = float(os.environ.get("AVEDE_QUIET_LOAD", "1.0"))
+    wait_deadline = time.perf_counter() + float(
+        os.environ.get("AVEDE_QUIET_WAIT_S", "45"))
+    while (os.getloadavg()[0] > quiet_gate
+           and time.perf_counter() < wait_deadline):
+        time.sleep(3.0)
     load_at_section_start = round(os.getloadavg()[0], 2)
 
     from avede_tpu.io.video_reader import VideoReader
