@@ -16,7 +16,7 @@ define the format. Defined here, versioned:
   them — ``complete_rows``)
 - ``meta``        JSON bytes     — {version, model_tag, frame_hw,
                                     sample_rate, dtype, complete,
-                                    created}
+                                    dedup_gated, created}
 
 A cache entry is valid only if model tag + sampling parameters match —
 the analog of the reference ModelCache's config-hash validation
@@ -50,7 +50,16 @@ def table_tag(model_tag: str) -> str:
     producer/consumer of ``<video_id>.npz`` tables (Phase1Scan,
     ImageMatcher, library search) must use THIS function — divergent
     tags on the same file would make the paths perpetually invalidate
-    and overwrite each other's entries."""
+    and overwrite each other's entries.
+
+    Not every producer under a dedup tag actually gates: the sparse
+    cold scan embeds its middle rows exactly, lazy backfill embeds
+    exactly, and ImageMatcher embeds every frame exactly — only the
+    dense scan with eps>0 writes gated (approximate) values. Exact
+    tables are at least as accurate as gated ones, so an exact table
+    superseding a gated one under the same tag is by design; which
+    producer wrote an entry is recorded in ``meta["dedup_gated"]``
+    (round-4 advisor finding on backfill provenance)."""
     eps = settings.SCAN_DEDUP_EPS
     return f"{model_tag}|dedup{eps:g}" if eps > 0 else model_tag
 
@@ -96,7 +105,8 @@ class EmbeddingCache:
     def put(self, video_id: str, embeddings: np.ndarray,
             timestamps: List[float], model_tag: str,
             frame_hw: Tuple[int, int], sample_rate: int,
-            valid: Optional[np.ndarray] = None) -> np.ndarray:
+            valid: Optional[np.ndarray] = None,
+            gated: bool = False) -> np.ndarray:
         """Store the table; returns the CANONICAL stored values (the
         int8 round trip when quantization is on), so callers that keep
         using the table in memory agree exactly with later cache
@@ -107,7 +117,13 @@ class EmbeddingCache:
         hold real embeddings (the sparse cold scan embeds window
         middles only — ``Phase1Scan``); an all-true or None mask stores
         a complete table. ``get`` serves complete entries only;
-        ``get_entry`` also serves sparse ones."""
+        ``get_entry`` also serves sparse ones.
+
+        ``gated=True`` records (meta provenance only — no read path
+        keys on it) that rows may carry dedup-run-representative
+        values rather than exact embeddings: the dense scan with
+        eps>0. Exact producers writing under the same dedup tag
+        supersede gated tables by design — see ``table_tag``."""
         emb = np.ascontiguousarray(np.asarray(embeddings, dtype=np.float32))
         if valid is not None:
             valid = np.asarray(valid, dtype=bool)
@@ -121,6 +137,7 @@ class EmbeddingCache:
             "sample_rate": int(sample_rate),
             "dtype": "int8" if int8 else "float32",
             "complete": valid is None,
+            "dedup_gated": bool(gated),
             "created": time.time(),
         }
         path = self._path(video_id)
@@ -213,7 +230,11 @@ class EmbeddingCache:
 
         Merging re-quantizes the whole table; the per-row amax/127
         scheme is exactly idempotent on already-round-tripped rows, so
-        previously-stored rows keep their byte-identical values."""
+        previously-stored rows keep their byte-identical values.
+
+        Completed tables are exact (sparse entries and backfill rows
+        are both embedded without dedup gating), so the merged entry
+        is stored with ``dedup_gated=False`` provenance."""
         ent = self.get_entry(video_id, model_tag, sample_rate)
         if ent is None:
             return None

@@ -183,7 +183,8 @@ class Phase1Scan:
             # put returns the canonical stored values (int8 round trip
             # when enabled) so cold and warm queries score identically
             emb = self.cache.put(vid, emb, ts, tag, shape[0],
-                                 self.reader.sample_rate)
+                                 self.reader.sample_rate,
+                                 gated=deduper is not None)
         return emb, ts
 
     # ------------------------------------------------------------------
@@ -195,15 +196,23 @@ class Phase1Scan:
         sampled frame for the reranker and the lazy backfill), but only
         ~1/8 of the frames are packed, transferred, and pushed through
         the ViT — on a bandwidth-limited host↔device link the transfer
-        IS the cold wall, so this is a near-linear latency cut with
-        phase-1 results unchanged by construction (scoring reads middle
-        rows only). Middle indices come from the container's metadata
-        frame count; if the decode yields a different count (broken
-        metadata), the delta rows are embedded from retention before
-        the table is stored."""
+        IS the cold wall, so this is a near-linear latency cut.
+
+        Middle rows are embedded EXACTLY — the dedup gate is
+        deliberately NOT applied here. Consecutive middles are a full
+        stride (8 frames) apart, so gating them buys almost nothing,
+        and a gated sparse table would disagree with a dense scan's
+        values under the same cache tag (round-4 advisor finding).
+        Phase-1 scores from a sparse table therefore equal an exact
+        (eps=0) dense scan's up to int8-cache quantization; when
+        ``SCAN_DEDUP_EPS > 0`` it is the DENSE scan that approximates
+        (duplicate rows carry their run representative's embedding),
+        never the sparse one. Middle indices come from the container's
+        metadata frame count; if the decode yields a different count
+        (broken metadata), the delta rows are embedded from retention
+        before the table is stored."""
         from ..ops.preprocess import pack_frames_i420
 
-        eps = settings.SCAN_DEDUP_EPS
         n_exp = self.reader.expected_sample_count(video_path)
         sel = np.unique(window_middle_indices(
             n_exp, settings.WINDOW_SIZE, settings.WINDOW_STRIDE)
@@ -218,9 +227,6 @@ class Phase1Scan:
             self.retention.add(vid, bgr, chunk_ts)
             return bgr
 
-        deduper = (FrameDeduper(
-            eps, signature_fn=lambda f: _dedup_sigs(f[:, :size]))
-            if eps > 0 else None)
         self.retention.begin(vid, color="bgr")
 
         def chunks():
@@ -234,27 +240,14 @@ class Phase1Scan:
                 if len(take) == 0:
                     continue
                 sel_order.extend((take + lo).tolist())
-                packed = pack_frames_i420(
+                yield pack_frames_i420(
                     np.ascontiguousarray(bgr[take]), size, src="bgr")
-                if deduper is not None:
-                    packed = deduper.filter(packed)
-                    if len(packed) == 0:
-                        continue
-                yield packed
 
         with trace("phase1.decode_embed"):
-            stream = chunks()
-            if deduper is not None:
-                stream = rebatch(stream, settings.STREAM_CHUNK_FRAMES)
-            emb_sel = self.engine.embed_stream(stream)
-        if deduper is not None:
-            emb_sel = deduper.scatter(emb_sel)
-            if deduper.n_unique < deduper.n_total:
-                logger.info(
-                    "Scan dedup: embedded %d/%d middle frames "
-                    "(%.0f%% duplicate)", deduper.n_unique,
-                    deduper.n_total,
-                    100 * (1 - deduper.n_unique / deduper.n_total))
+            # rebatch: middle rows arrive ~chunk/stride at a time;
+            # coalescing keeps the stream on one compiled bucket shape
+            emb_sel = self.engine.embed_stream(
+                rebatch(chunks(), settings.STREAM_CHUNK_FRAMES))
         n = len(ts)
         dim = (emb_sel.shape[1] if len(emb_sel)
                else self.engine.cfg.projection_dim)
@@ -293,10 +286,15 @@ class Phase1Scan:
         lookup — pixel-identical to the decode-thread pack)."""
         from ..io.frame_retention import ts_key
 
+        # duplicate/near-duplicate timestamps can quantize to the same
+        # ms key; retention then holds ONE frame for several rows, so
+        # completeness is judged per unique key, not per row (a len
+        # mismatch here used to force a needless full re-decode)
+        keys = [ts_key(ts[i]) for i in idx]
         frames = self.retention.lookup(vid, [ts[i] for i in idx])
-        if len(frames) < len(idx):
+        if len(frames) < len(set(keys)):
             return None
-        arr = np.stack([frames[ts_key(ts[i])] for i in idx])
+        arr = np.stack([frames[k] for k in keys])
         return self.engine.embed_frames(arr)
 
     def _complete_table(self, video_path: str, vid: str, tag: str,

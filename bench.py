@@ -247,16 +247,28 @@ def main() -> None:
 
 
 def quiet_cold_p50(trials: list, load_at_section_start: float,
-                   quiet_load: float, quiet_steal_pct: float):
+                   quiet_load: float, quiet_steal_pct: float,
+                   membw_before: float = 0.0, membw_after: float = 0.0,
+                   membw_min_ratio: float = 0.7):
     """Load-qualified cold p50 (None when the host wasn't quiet).
 
     A trial is quiet when its CPU-steal fraction is at/below
     ``quiet_steal_pct`` AND the pre-section 1-min load was at/below
-    ``quiet_load``. Per-trial loadavg is deliberately NOT a gate: the
-    bench's own decode workers inflate it (a 0.3-load host reads 4.8
-    mid-trials), and sibling-VM pressure shows up in steal/bandwidth,
-    never in this VM's loadavg."""
+    ``quiet_load`` AND the memcpy-bandwidth probe did not collapse
+    between the pre- and post-trial samples. Per-trial loadavg is
+    deliberately NOT a gate: the bench's own decode workers inflate
+    it (a 0.3-load host reads 4.8 mid-trials), and sibling-VM
+    pressure shows up in steal/bandwidth, never in this VM's loadavg.
+
+    The membw ratio gate exists because the pre-section sample is a
+    single instant: a co-tenant whose load momentarily dips under the
+    gate would otherwise brand the run "quiet" even if contention
+    resumed during trials (round-4 advisor finding). Both probes are
+    zero/absent in legacy artifacts → the ratio gate is skipped."""
     if load_at_section_start > quiet_load:
+        return None
+    if (membw_before > 0.0 and membw_after > 0.0
+            and membw_after < membw_min_ratio * membw_before):
         return None
     quiet = sorted(t["s"] for t in trials
                    if t.get("steal_pct", 0.0) <= quiet_steal_pct)
@@ -291,11 +303,16 @@ def _overlap_benefit(model, params, cfg) -> dict:
     # bounded so later sections keep their budget; a genuinely busy
     # host stays above the gate and still records an honest null.
     quiet_gate = float(os.environ.get("AVEDE_QUIET_LOAD", "1.0"))
-    wait_deadline = time.perf_counter() + float(
+    wait_t0 = time.perf_counter()
+    wait_deadline = wait_t0 + float(
         os.environ.get("AVEDE_QUIET_WAIT_S", "45"))
     while (os.getloadavg()[0] > quiet_gate
            and time.perf_counter() < wait_deadline):
         time.sleep(3.0)
+    # ledgered: how long the shadow-wait ran before the sample was
+    # taken — a run that had to wait near the full budget is visibly
+    # different in the artifact from one that started quiet
+    quiet_wait_s = round(time.perf_counter() - wait_t0, 1)
     load_at_section_start = round(os.getloadavg()[0], 2)
 
     from avede_tpu.io.video_reader import VideoReader
@@ -434,7 +451,8 @@ def _overlap_benefit(model, params, cfg) -> dict:
     times = sorted(t["s"] for t in trials)
     cold_p50 = times[len(times) // 2]
     cold_p50_quiet = quiet_cold_p50(trials, load_at_section_start,
-                                    quiet_load, quiet_steal)
+                                    quiet_load, quiet_steal,
+                                    membw_before, membw_after)
     stream_best = min(min(sweep.values()), times[0])
 
     # duplicate-frame gating on surveillance-style footage (static scene
@@ -514,6 +532,7 @@ def _overlap_benefit(model, params, cfg) -> dict:
             "quiet_load_threshold": quiet_load,
             "quiet_steal_threshold_pct": quiet_steal,
             "load_at_section_start": load_at_section_start,
+            "quiet_wait_s": quiet_wait_s,
             "membw_gbps_before_trials": membw_before,
             "membw_gbps_after_trials": membw_after,
             "trials": trials,

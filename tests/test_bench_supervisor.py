@@ -191,3 +191,16 @@ def test_quiet_cold_p50_gating():
     # trials without steal annotation (old artifacts) count as quiet
     legacy = [{"s": 4.0, "load_1m": 0.5}]
     assert bench.quiet_cold_p50(legacy, 0.2, 1.0, 10.0) == 4.0
+    # membw probe collapse mid-trials (co-tenant resumed after the
+    # pre-section load sample) disqualifies the whole section
+    assert bench.quiet_cold_p50(trials, 0.4, 1.0, 10.0,
+                                membw_before=10.0,
+                                membw_after=5.0) is None
+    # steady probe keeps the quiet number
+    assert bench.quiet_cold_p50(trials, 0.4, 1.0, 10.0,
+                                membw_before=10.0,
+                                membw_after=9.0) == 2.5
+    # legacy artifacts without probes skip the ratio gate
+    assert bench.quiet_cold_p50(trials, 0.4, 1.0, 10.0,
+                                membw_before=0.0,
+                                membw_after=0.0) == 2.5

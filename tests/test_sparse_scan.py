@@ -138,16 +138,27 @@ class TestSparseScan:
         assert [x["window_index"] for x in r1] == \
                [x["window_index"] for x in r2]
 
-    def test_dedup_sparse_scan(self, test_video, tiny_engine, tmp_path,
-                               monkeypatch):
-        """eps>0: dedup gates among the selected middle frames; results
-        stay within quantization noise of the exact ones."""
+    def test_sparse_exact_at_default_eps(self, test_video, tiny_engine,
+                                         tmp_path, monkeypatch):
+        """At the DEFAULT dedup eps the sparse scan never gates: its
+        middle rows are embedded exactly, so phase-1 values equal an
+        exact (eps=0 dense) scan's — value-level, not just shape
+        (round-4 advisor medium finding: the old gated sparse scan
+        could diverge from dense under the same cache tag)."""
+        monkeypatch.setattr(settings, "SCAN_DEDUP_EPS", 0.0)
+        monkeypatch.setattr(settings, "SCAN_SPARSE_COLD", False)
+        exact = _scan(tiny_engine, tmp_path, "x").process_video(
+            test_video, "a white square", top_k=5, threshold=-1.0)
         monkeypatch.setattr(settings, "SCAN_DEDUP_EPS", 1.5)
         monkeypatch.setattr(settings, "SCAN_SPARSE_COLD", True)
         scan = _scan(tiny_engine, tmp_path, "e")
         res = scan.process_video(test_video, "a white square",
                                  top_k=5, threshold=-1.0, video_id="v")
-        assert len(res) > 0
+        assert len(res) == len(exact) > 0
+        for a, b in zip(res, exact):
+            assert a["window_index"] == b["window_index"]
+            np.testing.assert_allclose(a["confidence"], b["confidence"],
+                                       atol=1e-6)
 
 
 class TestImageMatcherSparseSynergy:
