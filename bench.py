@@ -850,7 +850,9 @@ def _ledger_entry(result: dict, carried: list) -> dict:
         entry["scan_mode"] = ce.get("scan_mode", "dense")
         entry["embedded_rows"] = ce.get("embedded_rows")
         entry["load_at_section_start"] = ce.get("load_at_section_start")
+        entry["quiet_wait_s"] = ce.get("quiet_wait_s")
         entry["membw_gbps"] = ce.get("membw_gbps_before_trials")
+        entry["membw_gbps_after"] = ce.get("membw_gbps_after_trials")
         steals = [t["steal_pct"] for t in ce.get("trials", [])
                   if t.get("steal_pct") is not None]
         if steals:
@@ -861,6 +863,12 @@ def _ledger_entry(result: dict, carried: list) -> dict:
     if adv and "advanced_mode_p50_ms" not in carried:
         entry["advanced_cold_ms"] = adv.get("advanced_cold_p50_ms")
         entry["advanced_warm_ms"] = adv.get("advanced_warm_p50_ms")
+        # compile-cache state PER ROW, not just on the latest run —
+        # the ledger's advanced_cold outliers must be attributable to
+        # fresh-compile runs without opening old artifacts
+        entry["advanced_compile_s"] = adv.get("first_compile_s")
+        entry["compile_cache_new"] = adv.get(
+            "compile_cache_new_entries")
     t4k = d.get("tiled_4k")
     if t4k and "tiled_4k" not in carried:
         entry["tiled_4k_fps"] = t4k.get("frames_per_sec")
