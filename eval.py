@@ -689,45 +689,67 @@ def eval_detection(seed: int = 0, steps: int = 700,
     # open-vocab: trained OWL-ViT through the real UniversalDetector
     # (round-2 verdict item 4 — the owlvit/hybrid modes previously ran
     # only with random weights)
-    ocfg, oparams, owl_loss = _train_tiny_owl(owl_steps, seed,
-                                              scene_fn=scene128)
+    # multi-seed like eval_detection_4k: a single trained OWL is a
+    # point estimate whose val-picked threshold moved P/R by ~0.1
+    # between refreshes; the committed number is the across-seed mean
+    # with min/std so EVAL.json carries the spread, not one lucky run
     _, params = init_clip(tiny_test_config(), seed=0)
     engine = ClipEngine(cfg=tiny_test_config(), params=params)
-    ud = UniversalDetector(engine, owlvit_cfg=ocfg,
-                           owlvit_params=oparams, yolo=svc)
-    def mode_pr_at(mode: str, conf: float, rng_m, n: int):
-        tp = fp = fn = 0
-        for _ in range(n):
-            img, gb, gl, gm = scene128(rng_m)
-            dets = ud.detect_unlimited_objects(
-                img[None], SHAPE_CLASSES, detection_mode=mode,
-                conf_threshold=conf, adaptive=False)[0]
-            a, b, c = _match_detections(
-                [{"bbox": d["bbox"],
-                  "class_id": SHAPE_CLASSES.index(d["query"])
-                  if d.get("query") in SHAPE_CLASSES else -1}
-                 for d in dets], gb[gm], gl[gm])
-            tp, fp, fn = tp + a, fp + b, fn + c
-        return tp / max(tp + fp, 1), tp / max(tp + fn, 1)
+    owl_seeds = (seed, seed + 1)
+    owl_runs = []
+    owl_loss = None
+    ud = None
+    for s in owl_seeds:
+        ocfg, oparams, loss_s = _train_tiny_owl(owl_steps, s,
+                                                scene_fn=scene128)
+        ud_s = UniversalDetector(engine, owlvit_cfg=ocfg,
+                                 owlvit_params=oparams, yolo=svc)
+        if ud is None:          # video path below uses the first run
+            ud, owl_loss = ud_s, loss_s
 
-    mode_pr = {}
+        def mode_pr_at(mode: str, conf: float, rng_m, n: int):
+            tp = fp = fn = 0
+            for _ in range(n):
+                img, gb, gl, gm = scene128(rng_m)
+                dets = ud_s.detect_unlimited_objects(
+                    img[None], SHAPE_CLASSES, detection_mode=mode,
+                    conf_threshold=conf, adaptive=False)[0]
+                a, b, c = _match_detections(
+                    [{"bbox": d["bbox"],
+                      "class_id": SHAPE_CLASSES.index(d["query"])
+                      if d.get("query") in SHAPE_CLASSES else -1}
+                     for d in dets], gb[gm], gl[gm])
+                tp, fp, fn = tp + a, fp + b, fn + c
+            return tp / max(tp + fp, 1), tp / max(tp + fn, 1)
+
+        run = {"seed": s, "final_loss": loss_s}
+        for mode in ("owlvit", "hybrid"):
+            # operating threshold chosen on a VALIDATION split (F1),
+            # reported on a held-out test split — standard methodology,
+            # no threshold shopping on the test scenes
+            best_conf, best_f1 = 0.5, -1.0
+            for conf in (0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65,
+                         0.7, 0.75, 0.8):
+                p, r = mode_pr_at(mode, conf,
+                                  np.random.default_rng(s + 501), 12)
+                f1 = 2 * p * r / max(p + r, 1e-9)
+                if f1 > best_f1:
+                    best_conf, best_f1 = conf, f1
+            p, r = mode_pr_at(mode, best_conf,
+                              np.random.default_rng(s + 7), 24)
+            run[f"{mode}_precision"] = p
+            run[f"{mode}_recall"] = r
+            run[f"{mode}_conf"] = best_conf
+        owl_runs.append(run)
+
+    mode_pr = {"owl_per_seed": owl_runs, "owl_n_seeds": len(owl_seeds)}
     for mode in ("owlvit", "hybrid"):
-        # operating threshold chosen on a VALIDATION split (F1),
-        # reported on a held-out test split — standard methodology,
-        # no threshold shopping on the test scenes
-        best_conf, best_f1 = 0.5, -1.0
-        for conf in (0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65,
-                     0.7, 0.75, 0.8):
-            p, r = mode_pr_at(mode, conf,
-                              np.random.default_rng(seed + 501), 12)
-            f1 = 2 * p * r / max(p + r, 1e-9)
-            if f1 > best_f1:
-                best_conf, best_f1 = conf, f1
-        p, r = mode_pr_at(mode, best_conf,
-                          np.random.default_rng(seed + 7), 24)
-        mode_pr[f"{mode}_precision"] = p
-        mode_pr[f"{mode}_recall"] = r
-        mode_pr[f"{mode}_conf"] = best_conf
+        for metric in ("precision", "recall"):
+            vals = [r[f"{mode}_{metric}"] for r in owl_runs]
+            mode_pr[f"{mode}_{metric}"] = float(np.mean(vals))
+            mode_pr[f"{mode}_{metric}_min"] = float(np.min(vals))
+            mode_pr[f"{mode}_{metric}_std"] = float(np.std(vals))
+        mode_pr[f"{mode}_conf"] = [r[f"{mode}_conf"] for r in owl_runs]
 
     # video-level through the small-object service (the /api/
     # small-object-detection path): write a video of scenes, detect,

@@ -240,3 +240,33 @@ class TestCacheSparseFormat:
         cache.put("v", emb, [0.0, 1.0, 2.0, 3.0], "tag", (4, 4), 1,
                   valid=np.ones(4, bool))
         assert cache.get("v", "tag", 1) is not None
+
+    def test_dedup_gated_provenance(self, tmp_path):
+        """meta records which producer wrote the table: gated (dense
+        scan with eps>0) vs exact (sparse scan, backfill, image
+        matcher) — round-4 advisor finding on backfill provenance."""
+        import json
+
+        from avede_tpu.io.embedding_cache import EmbeddingCache
+
+        def meta_of(cache, vid):
+            with np.load(cache._path(vid)) as z:
+                return json.loads(bytes(z["meta"].tobytes()).decode())
+
+        cache = EmbeddingCache(str(tmp_path))
+        emb = np.eye(4, 8, dtype=np.float32)
+        ts = [0.0, 1.0, 2.0, 3.0]
+        cache.put("g", emb, ts, "tag", (4, 4), 1, gated=True)
+        assert meta_of(cache, "g")["dedup_gated"] is True
+        cache.put("x", emb, ts, "tag", (4, 4), 1)
+        assert meta_of(cache, "x")["dedup_gated"] is False
+        # completing a sparse entry stores exact provenance
+        valid = np.array([True, False, True, False])
+        cache.put("s", np.where(valid[:, None], emb, 0.0), ts, "tag",
+                  (4, 4), 1, valid=valid)
+        assert meta_of(cache, "s")["dedup_gated"] is False
+        missing = np.where(~valid)[0]
+        assert cache.complete_rows("s", "tag", 1, emb[missing],
+                                   missing) is not None
+        m = meta_of(cache, "s")
+        assert m["complete"] is True and m["dedup_gated"] is False

@@ -65,9 +65,14 @@ def render(ev: dict) -> str:
          f"{_f(det.get('frame_recall'))}"),
         ("`detection`",
          "trained **OWL-ViT** open-vocab P / R through "
-         "`UniversalDetector` (owlvit mode)",
+         "`UniversalDetector` (owlvit mode"
+         + (f", mean of {det.get('owl_n_seeds')} seeds"
+            if det.get("owl_n_seeds") else "") + ")",
          f"{_f(det.get('owlvit_precision'))} / "
-         f"{_f(det.get('owlvit_recall'))}"),
+         f"{_f(det.get('owlvit_recall'))}"
+         + (f" (min {_f(det.get('owlvit_precision_min'))} / "
+            f"{_f(det.get('owlvit_recall_min'))})"
+            if det.get("owlvit_precision_min") is not None else "")),
         ("`detection`", "small-object VIDEO path P / R (`yolo_enhanced`)",
          f"{_f(det.get('video_path_precision'))} / "
          f"{_f(det.get('video_path_recall'))}"),
