@@ -461,6 +461,28 @@ def _shapes_wordpiece_vocab(path: str, cfg) -> None:
 
 
 def eval_caption(seed: int = 0, steps: int = 700) -> dict:
+    """Across-seed caption metrics: exact-match swung 0.94→0.81
+    between single-seed refreshes, so the committed number is the mean
+    over 2 trained models with min/std recorded (same policy as the
+    4K-detection and OWL evals)."""
+    runs = [_caption_run(s, steps) for s in (seed, seed + 1)]
+    out = {"caption_per_seed": [
+        {k: r[k] for k in ("seed", "caption_exact_match",
+                           "rerank_pairs_correct", "final_train_loss")}
+        for r in runs]}
+    for metric in ("caption_exact_match", "rerank_pairs_correct"):
+        vals = [r[metric] for r in runs]
+        out[metric] = float(np.mean(vals))
+        out[f"{metric}_min"] = float(np.min(vals))
+        out[f"{metric}_std"] = float(np.std(vals))
+    out["n_seeds"] = len(runs)
+    out["examples"] = runs[0]["examples"]
+    out["final_train_loss"] = runs[0]["final_train_loss"]
+    out["train_steps"] = steps
+    return out
+
+
+def _caption_run(seed: int, steps: int) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -527,7 +549,7 @@ def eval_caption(seed: int = 0, steps: int = 700) -> dict:
             [cap], f"a {'red' if c != 'red' else 'blue'} "
                    f"{'circle' if s != 'circle' else 'square'}")[0]
         sims_ok += int(sims > other)
-    return {"caption_exact_match": exact,
+    return {"seed": seed, "caption_exact_match": exact,
             "examples": caps[:4],
             "rerank_pairs_correct": sims_ok / len(pairs),
             "final_train_loss": loss, "train_steps": steps}

@@ -112,8 +112,12 @@ def render(ev: dict) -> str:
          "reference measures 0%)",
          f"**{_f(bg.get('success_rate'))}** (raw-crop CLIP baseline "
          f"{_f(bg.get('raw_crop_clip_baseline'))})"),
-        ("`caption`", "trained BLIP caption exact-match",
-         _f(cap.get("caption_exact_match"), 4)),
+        ("`caption`", "trained BLIP caption exact-match"
+         + (f" (mean of {cap.get('n_seeds')} seeds)"
+            if cap.get("n_seeds") else ""),
+         _f(cap.get("caption_exact_match"), 4)
+         + (f" (min {_f(cap.get('caption_exact_match_min'), 4)})"
+            if cap.get("caption_exact_match_min") is not None else "")),
         ("`caption`", "caption↔query rerank pairs correct",
          _f(cap.get("rerank_pairs_correct"))),
         ("`library`", "whole-library video@1 / hit@1 (device index)",
