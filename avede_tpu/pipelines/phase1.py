@@ -286,13 +286,22 @@ class Phase1Scan:
         lookup — pixel-identical to the decode-thread pack)."""
         from ..io.frame_retention import ts_key
 
-        # duplicate/near-duplicate timestamps can quantize to the same
-        # ms key; retention then holds ONE frame for several rows, so
-        # completeness is judged per unique key, not per row (a len
-        # mismatch here used to force a needless full re-decode)
+        # duplicate timestamps quantize to the same ms key; retention
+        # holds ONE frame per key, so completeness is judged per unique
+        # key, not per row (a len mismatch here used to force a
+        # needless full re-decode). Shared keys are only trusted when
+        # the colliding rows carry the SAME timestamp (true duplicate
+        # pts → same frame); two *different* timestamps landing on one
+        # ms key could be different frames, and serving the one
+        # retained frame for both would store a neighbor's embedding
+        # as exact — that case falls back to the per-index decode.
         keys = [ts_key(ts[i]) for i in idx]
+        by_key: dict = {}
+        for i, k in zip(idx, keys):
+            if by_key.setdefault(k, ts[i]) != ts[i]:
+                return None
         frames = self.retention.lookup(vid, [ts[i] for i in idx])
-        if len(frames) < len(set(keys)):
+        if len(frames) < len(by_key):
             return None
         arr = np.stack([frames[k] for k in keys])
         return self.engine.embed_frames(arr)

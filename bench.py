@@ -253,25 +253,40 @@ def quiet_cold_p50(trials: list, load_at_section_start: float,
     """Load-qualified cold p50 (None when the host wasn't quiet).
 
     A trial is quiet when its CPU-steal fraction is at/below
-    ``quiet_steal_pct`` AND the pre-section 1-min load was at/below
-    ``quiet_load`` AND the memcpy-bandwidth probe did not collapse
-    between the pre- and post-trial samples. Per-trial loadavg is
-    deliberately NOT a gate: the bench's own decode workers inflate
-    it (a 0.3-load host reads 4.8 mid-trials), and sibling-VM
-    pressure shows up in steal/bandwidth, never in this VM's loadavg.
+    ``quiet_steal_pct`` AND its own membw probe (sampled right after
+    the trial) is within ``membw_min_ratio`` of the best probe seen in
+    the section AND the pre-section 1-min load was at/below
+    ``quiet_load``. Per-trial loadavg is deliberately NOT a gate: the
+    bench's own decode workers inflate it (a 0.3-load host reads 4.8
+    mid-trials), and sibling-VM pressure shows up in steal/bandwidth,
+    never in this VM's loadavg.
 
-    The membw ratio gate exists because the pre-section sample is a
-    single instant: a co-tenant whose load momentarily dips under the
-    gate would otherwise brand the run "quiet" even if contention
-    resumed during trials (round-4 advisor finding). Both probes are
-    zero/absent in legacy artifacts → the ratio gate is skipped."""
+    The membw gates exist because a single load sample is an instant:
+    a co-tenant whose pressure momentarily dips would otherwise brand
+    the run "quiet" even if contention resumed during trials (round-4
+    advisor finding). The per-trial probe closes the endpoint hole —
+    a burst confined to the trial window shows up in that trial's own
+    probe even when the before/after section probes both read full
+    bandwidth. Probes zero/absent (legacy artifacts) skip their
+    gate."""
     if load_at_section_start > quiet_load:
         return None
     if (membw_before > 0.0 and membw_after > 0.0
             and membw_after < membw_min_ratio * membw_before):
         return None
-    quiet = sorted(t["s"] for t in trials
-                   if t.get("steal_pct", 0.0) <= quiet_steal_pct)
+    probes = [t["membw_gbps"] for t in trials
+              if t.get("membw_gbps")] + [membw_before, membw_after]
+    best_bw = max([p for p in probes if p and p > 0.0], default=0.0)
+
+    def trial_quiet(t: dict) -> bool:
+        if t.get("steal_pct", 0.0) > quiet_steal_pct:
+            return False
+        bw = t.get("membw_gbps")
+        if bw and best_bw > 0.0 and bw < membw_min_ratio * best_bw:
+            return False
+        return True
+
+    quiet = sorted(t["s"] for t in trials if trial_quiet(t))
     return quiet[len(quiet) // 2] if quiet else None
 
 
@@ -445,8 +460,13 @@ def _overlap_benefit(model, params, cfg) -> dict:
         wall = time.perf_counter() - t0
         steal_pct = ((_steal_ticks() - st0)
                      / max(wall * 100.0 * n_cpu, 1e-9) * 100.0)
+        # per-trial membw probe: a co-tenant burst confined to the
+        # trial window is invisible to the section's endpoint probes
+        # AND to steal/loadavg — this sample pins the host's memory
+        # bandwidth at (just after) each trial for the quiet gate
         trials.append({"s": round(s, 3), "load_1m": load,
-                       "steal_pct": round(steal_pct, 1)})
+                       "steal_pct": round(steal_pct, 1),
+                       "membw_gbps": _membw_gbps()})
     membw_after = _membw_gbps()
     times = sorted(t["s"] for t in trials)
     cold_p50 = times[len(times) // 2]
@@ -539,8 +559,10 @@ def _overlap_benefit(model, params, cfg) -> dict:
             "trial_load_note": ("per-trial load_1m includes the "
                                 "bench's own decode workers; quiet "
                                 "gating uses load_at_section_start + "
-                                "per-trial steal_pct (sibling-VM "
-                                "pressure never shows in loadavg)"),
+                                "per-trial steal_pct + per-trial "
+                                "membw probe vs the section's best "
+                                "(sibling-VM pressure never shows in "
+                                "loadavg)"),
             "host_cores": len(_os.sched_getaffinity(0)),
             "host_load_1m": round(_os.getloadavg()[0], 2),
             "cold_e2e_best_s_600frames": round(stream_best, 3),

@@ -38,6 +38,16 @@ from avede_tpu.utils.platform import (apply_platform_env,
 # image-retrieval eval
 # ---------------------------------------------------------------------------
 
+def _spread_into(out: dict, prefix: str, vals) -> None:
+    """THE across-seed aggregation policy, shared by every multi-seed
+    eval mode (grounding, 4K detection, OWL, caption): committed
+    numbers are the across-seed mean with min and population std
+    recorded under ``<prefix>_min``/``<prefix>_std``."""
+    out[prefix] = float(np.mean(vals))
+    out[f"{prefix}_min"] = float(np.min(vals))
+    out[f"{prefix}_std"] = float(np.std(vals))
+
+
 def eval_image_retrieval(seed: int = 0, n_subjects: int = 4) -> dict:
     import cv2
 
@@ -219,9 +229,10 @@ def eval_grounding(seed: int = 0, steps: int = 500,
             "tiou_at_0.7": float(np.mean([i >= 0.7 for i in ious])),
         })
 
-    mean_ious = [p["mean_temporal_iou"] for p in per_seed]
-    return {"mean_temporal_iou": float(np.mean(mean_ious)),
-            "mean_temporal_iou_std": float(np.std(mean_ious)),
+    agg: dict = {}
+    _spread_into(agg, "mean_temporal_iou",
+                 [p["mean_temporal_iou"] for p in per_seed])
+    return {**agg,
             "tiou_at_0.5": float(np.mean(
                 [p["tiou_at_0.5"] for p in per_seed])),
             "tiou_at_0.7": float(np.mean(
@@ -471,10 +482,7 @@ def eval_caption(seed: int = 0, steps: int = 700) -> dict:
                            "rerank_pairs_correct", "final_train_loss")}
         for r in runs]}
     for metric in ("caption_exact_match", "rerank_pairs_correct"):
-        vals = [r[metric] for r in runs]
-        out[metric] = float(np.mean(vals))
-        out[f"{metric}_min"] = float(np.min(vals))
-        out[f"{metric}_std"] = float(np.std(vals))
+        _spread_into(out, metric, [r[metric] for r in runs])
     out["n_seeds"] = len(runs)
     out["examples"] = runs[0]["examples"]
     out["final_train_loss"] = runs[0]["final_train_loss"]
@@ -767,10 +775,8 @@ def eval_detection(seed: int = 0, steps: int = 700,
     mode_pr = {"owl_per_seed": owl_runs, "owl_n_seeds": len(owl_seeds)}
     for mode in ("owlvit", "hybrid"):
         for metric in ("precision", "recall"):
-            vals = [r[f"{mode}_{metric}"] for r in owl_runs]
-            mode_pr[f"{mode}_{metric}"] = float(np.mean(vals))
-            mode_pr[f"{mode}_{metric}_min"] = float(np.min(vals))
-            mode_pr[f"{mode}_{metric}_std"] = float(np.std(vals))
+            _spread_into(mode_pr, f"{mode}_{metric}",
+                         [r[f"{mode}_{metric}"] for r in owl_runs])
         mode_pr[f"{mode}_conf"] = [r[f"{mode}_conf"] for r in owl_runs]
 
     # video-level through the small-object service (the /api/
@@ -964,10 +970,9 @@ def eval_detection_4k(seed: int = 0, steps: int = 700,
             "detections_total": sum(len(d) for d in all_dets),
             "final_train_loss": final_loss})
 
-    maps = [p["map50"] for p in per_seed]
-    return {"map50": float(np.mean(maps)),
-            "map50_std": float(np.std(maps)),
-            "map50_min": float(np.min(maps)),
+    ret: dict = {}
+    _spread_into(ret, "map50", [p["map50"] for p in per_seed])
+    return {**ret,
             "per_seed": per_seed, "n_seeds": n_seeds,
             "frames_per_seed": n_frames, "resolution": "3840x2160",
             "tiles_per_frame": len(tile_grid(2160, 3840, TILE,

@@ -204,3 +204,17 @@ def test_quiet_cold_p50_gating():
     assert bench.quiet_cold_p50(trials, 0.4, 1.0, 10.0,
                                 membw_before=0.0,
                                 membw_after=0.0) == 2.5
+    # per-trial membw: a burst confined to one trial's window (both
+    # endpoint probes read full bandwidth) excludes just that trial
+    bw_trials = [{"s": 3.0, "steal_pct": 0.0, "membw_gbps": 10.0},
+                 {"s": 9.0, "steal_pct": 0.0, "membw_gbps": 2.0},
+                 {"s": 2.0, "steal_pct": 0.0, "membw_gbps": 9.5},
+                 {"s": 2.4, "steal_pct": 0.0, "membw_gbps": 9.8}]
+    assert bench.quiet_cold_p50(bw_trials, 0.4, 1.0, 10.0,
+                                membw_before=10.0,
+                                membw_after=10.0) == 2.4
+    # all trials squashed mid-window -> no quiet number
+    squashed = [dict(t, membw_gbps=2.0) for t in bw_trials]
+    assert bench.quiet_cold_p50(squashed, 0.4, 1.0, 10.0,
+                                membw_before=10.0,
+                                membw_after=10.0) is None

@@ -124,6 +124,30 @@ class TestSparseScan:
         assert valid is not None and valid[mids].all()
         assert np.all(np.linalg.norm(emb[mids], axis=1) > 0.5)
 
+    def test_retention_ms_key_collision(self, test_video, tiny_engine,
+                                        tmp_path, monkeypatch):
+        """Rows whose DIFFERENT timestamps quantize to one ms key must
+        NOT be served from the single retained frame (it could be a
+        neighbor frame); equal timestamps sharing a key are fine."""
+        monkeypatch.setattr(settings, "SCAN_DEDUP_EPS", 0.0)
+        monkeypatch.setattr(settings, "SCAN_SPARSE_COLD", True)
+        scan = _scan(tiny_engine, tmp_path, "k")
+        _, ts = scan.frame_embeddings(test_video, video_id="v",
+                                      rows="scan")
+        # true duplicates (same ts twice): retention path serves both
+        dup = [ts[0], ts[0], ts[1]]
+        rows = scan._embed_rows_from_retention("v", dup,
+                                               np.arange(3))
+        assert rows is not None and len(rows) == 3
+        np.testing.assert_allclose(rows[0], rows[1], atol=1e-7)
+        # different ts colliding on one ms key: refuse (decode
+        # fallback embeds each index exactly instead)
+        near = [ts[0], ts[0] + 0.0004]
+        from avede_tpu.io.frame_retention import ts_key
+        assert ts_key(near[0]) == ts_key(near[1])
+        assert scan._embed_rows_from_retention(
+            "v", near, np.arange(2)) is None
+
     def test_sparse_hit_serves_scan_rows(self, test_video, tiny_engine,
                                          tmp_path, monkeypatch):
         monkeypatch.setattr(settings, "SCAN_DEDUP_EPS", 0.0)
