@@ -53,7 +53,10 @@ class FrameRetention:
         self._vid: Optional[str] = None
         self._color = "rgb"
         self._chunks: List[np.ndarray] = []
-        self._index: Dict[int, Tuple[int, int]] = {}   # key → (chunk, row)
+        # key → (chunk, row, timestamp); ts disambiguates ms-key
+        # collisions between different frames (poisoned on conflict)
+        self._index: Dict[int, Tuple[int, int, float]] = {}
+        self._poisoned: set = set()
         self._bytes = 0
         self._over = False
 
@@ -74,6 +77,7 @@ class FrameRetention:
             self._color = color
             self._chunks = []
             self._index = {}
+            self._poisoned = set()
             self._bytes = 0
             self._over = self.budget_bytes == 0
 
@@ -99,8 +103,25 @@ class FrameRetention:
             ci = len(self._chunks)
             self._chunks.append(frames)
             self._bytes += frames.nbytes
+            poisoned = self._poisoned
             for row, t in enumerate(timestamps):
-                self._index[ts_key(t)] = (ci, row)
+                k = ts_key(t)
+                if k in poisoned:
+                    continue
+                # two DIFFERENT timestamps quantizing to one ms key are
+                # different frames; last-write-wins here would silently
+                # serve a neighbor frame as an exact lookup hit (and the
+                # backfill path would store its embedding as exact), so
+                # the ambiguous key is poisoned — lookups miss it and
+                # consumers fall back to the per-index decode. Equal
+                # timestamps (duplicated pts) are the same frame and may
+                # overwrite freely.
+                prev = self._index.get(k)
+                if prev is not None and prev[2] != t:
+                    del self._index[k]
+                    poisoned.add(k)
+                    continue
+                self._index[k] = (ci, row, t)
 
     def lookup(self, video_id: str, timestamps: Sequence[float]
                ) -> Dict[int, np.ndarray]:
@@ -116,7 +137,7 @@ class FrameRetention:
             for t in timestamps:
                 hit = self._index.get(ts_key(t))
                 if hit is not None:
-                    ci, row = hit
+                    ci, row = hit[0], hit[1]
                     frame = self._chunks[ci][row]
                     if swap:
                         frame = np.ascontiguousarray(frame[..., ::-1])

@@ -249,17 +249,18 @@ def main() -> None:
 def quiet_cold_p50(trials: list, load_at_section_start: float,
                    quiet_load: float, quiet_steal_pct: float,
                    membw_before: float = 0.0, membw_after: float = 0.0,
-                   membw_min_ratio: float = 0.7):
+                   membw_min_ratio: float = 0.7,
+                   membw_floor_gbps: float = 0.0):
     """Load-qualified cold p50 (None when the host wasn't quiet).
 
     A trial is quiet when its CPU-steal fraction is at/below
     ``quiet_steal_pct`` AND its own membw probe (sampled right after
     the trial) is within ``membw_min_ratio`` of the best probe seen in
-    the section AND the pre-section 1-min load was at/below
-    ``quiet_load``. Per-trial loadavg is deliberately NOT a gate: the
-    bench's own decode workers inflate it (a 0.3-load host reads 4.8
-    mid-trials), and sibling-VM pressure shows up in steal/bandwidth,
-    never in this VM's loadavg.
+    the section AND at/above the absolute ``membw_floor_gbps`` AND the
+    pre-section 1-min load was at/below ``quiet_load``. Per-trial
+    loadavg is deliberately NOT a gate: the bench's own decode workers
+    inflate it (a 0.3-load host reads 4.8 mid-trials), and sibling-VM
+    pressure shows up in steal/bandwidth, never in this VM's loadavg.
 
     The membw gates exist because a single load sample is an instant:
     a co-tenant whose pressure momentarily dips would otherwise brand
@@ -267,16 +268,29 @@ def quiet_cold_p50(trials: list, load_at_section_start: float,
     advisor finding). The per-trial probe closes the endpoint hole —
     a burst confined to the trial window shows up in that trial's own
     probe even when the before/after section probes both read full
-    bandwidth. Probes zero/absent (legacy artifacts) skip their
-    gate."""
+    bandwidth. The absolute floor (derived from the cross-run ledger's
+    best probe) closes the steady-contention hole: when pressure spans
+    the WHOLE section every probe is equally depressed, so purely
+    relative gates pass — only comparison against the host's
+    known-healthy bandwidth catches it (round-5 review finding).
+
+    The endpoint before/after gate applies only to trial sets WITHOUT
+    per-trial probes (legacy artifacts): with probes, a burst shows in
+    the affected trial's own sample, and nulling the whole section for
+    an after-probe dip would discard trials with direct evidence of
+    quiet. Probes zero/absent skip their gate."""
     if load_at_section_start > quiet_load:
         return None
-    if (membw_before > 0.0 and membw_after > 0.0
+    have_trial_probes = any(t.get("membw_gbps") for t in trials)
+    if (not have_trial_probes
+            and membw_before > 0.0 and membw_after > 0.0
             and membw_after < membw_min_ratio * membw_before):
         return None
     probes = [t["membw_gbps"] for t in trials
               if t.get("membw_gbps")] + [membw_before, membw_after]
     best_bw = max([p for p in probes if p and p > 0.0], default=0.0)
+    if membw_floor_gbps > 0.0 and 0.0 < best_bw < membw_floor_gbps:
+        return None
 
     def trial_quiet(t: dict) -> bool:
         if t.get("steal_pct", 0.0) > quiet_steal_pct:
@@ -284,10 +298,38 @@ def quiet_cold_p50(trials: list, load_at_section_start: float,
         bw = t.get("membw_gbps")
         if bw and best_bw > 0.0 and bw < membw_min_ratio * best_bw:
             return False
+        if bw and membw_floor_gbps > 0.0 and bw < membw_floor_gbps:
+            return False
         return True
 
     quiet = sorted(t["s"] for t in trials if trial_quiet(t))
     return quiet[len(quiet) // 2] if quiet else None
+
+
+def membw_quiet_floor() -> float:
+    """Absolute membw floor for the quiet gate: env override
+    ``AVEDE_MEMBW_FLOOR_GBPS``, else 0.4 × the best pre-trial probe in
+    the cross-run ledger (0 = no history yet → floor disabled). 0.4
+    targets the co-tenant storm class the probe exists for (decode 5×
+    slow ⇒ probe reads ~2 vs the healthy ~10 GB/s) without branding
+    ordinary run-to-run drift as contention."""
+    import os as _os
+    from pathlib import Path as _Path
+
+    env = _os.environ.get("AVEDE_MEMBW_FLOOR_GBPS")
+    if env:
+        try:
+            return float(env)
+        except ValueError:
+            pass
+    try:
+        ledger = json.loads(
+            (_Path(__file__).resolve().parent / LAST_GOOD).read_text())
+        hist = ledger.get("detail", {}).get("history", [])
+        best = max((e.get("membw_gbps") or 0.0) for e in hist)
+    except Exception:  # noqa: BLE001 — no ledger yet
+        return 0.0
+    return round(0.4 * best, 2) if best > 0.0 else 0.0
 
 
 def _overlap_benefit(model, params, cfg) -> dict:
@@ -425,19 +467,24 @@ def _overlap_benefit(model, params, cfg) -> dict:
     quiet_steal = float(_osl.environ.get("AVEDE_QUIET_STEAL_PCT",
                                          "10.0"))
 
+    # probe buffers allocated ONCE per section: 7 probes × 2×64 MB of
+    # fresh allocations would add ~900 MB of transient page-fault churn
+    # on the 1-core host right between timed trials (round-5 review)
+    _probe_buf = np.empty(64 << 20, np.uint8)
+    _probe_dst = np.empty_like(_probe_buf)
+
     def _membw_gbps() -> float:
         # single-core memcpy bandwidth, the host-speed probe: sibling
         # VMs on this box contend for memory bandwidth/LLC, which slows
         # decode 5x while loadavg AND steal both read quiet — a probe
         # reading well under the ledger's best is the only mechanical
         # record that the host was slow at measurement time
-        buf = np.empty(64 << 20, np.uint8)
-        dst = np.empty_like(buf)
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
-            np.copyto(dst, buf)
-            best = max(best, buf.nbytes / (time.perf_counter() - t0))
+            np.copyto(_probe_dst, _probe_buf)
+            best = max(best,
+                       _probe_buf.nbytes / (time.perf_counter() - t0))
         return round(best / 1e9, 2)
 
     def _steal_ticks() -> int:
@@ -470,9 +517,11 @@ def _overlap_benefit(model, params, cfg) -> dict:
     membw_after = _membw_gbps()
     times = sorted(t["s"] for t in trials)
     cold_p50 = times[len(times) // 2]
+    membw_floor = membw_quiet_floor()
     cold_p50_quiet = quiet_cold_p50(trials, load_at_section_start,
                                     quiet_load, quiet_steal,
-                                    membw_before, membw_after)
+                                    membw_before, membw_after,
+                                    membw_floor_gbps=membw_floor)
     stream_best = min(min(sweep.values()), times[0])
 
     # duplicate-frame gating on surveillance-style footage (static scene
@@ -555,6 +604,7 @@ def _overlap_benefit(model, params, cfg) -> dict:
             "quiet_wait_s": quiet_wait_s,
             "membw_gbps_before_trials": membw_before,
             "membw_gbps_after_trials": membw_after,
+            "membw_floor_gbps": membw_floor,
             "trials": trials,
             "trial_load_note": ("per-trial load_1m includes the "
                                 "bench's own decode workers; quiet "

@@ -632,12 +632,19 @@ def _match_detections(dets, gtb, gtl, iou_thr: float = 0.5):
     return tp, fp, len(gtb) - len(matched)
 
 
-def _train_tiny_owl(steps: int, seed: int, lr: float = 2e-3,
+def _train_tiny_owl(steps: int, seed: int, lr=None,
                     batch: int = 16, scene_fn=None):
     """Train a tiny OWL-ViT on shapes-with-names; query ids are the
-    class-name tokens, so eval routes through the real text tower."""
+    class-name tokens, so eval routes through the real text tower.
+
+    Default lr is warmup→cosine like every other trainer here: the
+    flat-2e-3 variant left seed-dependent confidence calibration (the
+    val-picked threshold swung 0.35–0.75 and seed-0 precision sat at
+    0.68); with the decay tail both seeds converge to P≥0.84 at the
+    same recall (measured on-chip, 2000 steps × 2 seeds)."""
     import jax
     import jax.numpy as jnp
+    import optax
 
     from avede_tpu.models.owlvit import OwlViTConfig
     from avede_tpu.models.tokenizer import Tokenizer
@@ -651,6 +658,9 @@ def _train_tiny_owl(steps: int, seed: int, lr: float = 2e-3,
                        max_text_len=8, projection_dim=64)
     tok = Tokenizer(bpe_path="", vocab_size=cfg.vocab_size,
                     context_len=cfg.max_text_len)
+    if lr is None:
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, 2e-3, warmup_steps=100, decay_steps=max(steps, 101))
     model, state = create_owl_train_state(cfg, learning_rate=lr,
                                           seed=seed)
     step = make_owl_train_step(model, tok(SHAPE_CLASSES))
@@ -899,7 +909,7 @@ def _average_precision(all_dets, all_gts, iou_thr: float = 0.5
 TILE4K, OVERLAP4K = 256, 64
 
 
-def eval_detection_4k(seed: int = 0, steps: int = 700,
+def eval_detection_4k(seed: int = 0, steps: int = 1000,
                       n_frames: int = 16, n_seeds: int = 2) -> dict:
     """Tiled small-object detection at CLAIMED scale: 3840×2160 frames,
     objects ≤96² px, through the REAL ``SmallObjectService`` tiling
@@ -1414,7 +1424,7 @@ def main() -> None:
             rev = None
         import jax
 
-        out["meta"] = {
+        meta = {
             "seed": args.seed,
             "mode": args.mode,
             "date": datetime.datetime.now(datetime.timezone.utc)
@@ -1423,6 +1433,7 @@ def main() -> None:
             "backend": jax.devices()[0].platform,
             "n_devices": jax.device_count(),
         }
+        out["meta"] = meta
         # single-mode runs MERGE into an existing artifact (refresh one
         # capability without dropping the other modes' records)
         target = Path(args.out)
@@ -1433,6 +1444,16 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — corrupt → rewrite
                 merged = {}
         merged.update(out)
+        # per-section provenance: the top-level meta describes only the
+        # LATEST write (a single-mode merge overwrites it wholesale),
+        # so each refreshed section records its own measurement stamp —
+        # README's generated table cites these, not the merge's meta
+        sec_meta = {k: v for k, v in meta.items() if k != "mode"}
+        by_mode = dict(merged.get("meta_by_mode") or {})
+        for section in out:
+            if section != "meta":
+                by_mode[section] = sec_meta
+        merged["meta_by_mode"] = by_mode
         target.write_text(json.dumps(merged, indent=1))
     print(json.dumps(out, indent=2))
 

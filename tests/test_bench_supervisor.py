@@ -218,3 +218,40 @@ def test_quiet_cold_p50_gating():
     assert bench.quiet_cold_p50(squashed, 0.4, 1.0, 10.0,
                                 membw_before=10.0,
                                 membw_after=10.0) is None
+    # endpoint dip with per-trial probes all healthy: the trials carry
+    # direct evidence of quiet — a burst that began during the AFTER
+    # probe must not discard them (round-5 review finding)
+    assert bench.quiet_cold_p50(bw_trials[2:], 0.4, 1.0, 10.0,
+                                membw_before=10.0,
+                                membw_after=5.0) == 2.4
+    # steady whole-section contention: every probe equally depressed
+    # passes all relative gates — only the absolute floor catches it
+    steady = [dict(t, membw_gbps=2.0) for t in bw_trials]
+    assert bench.quiet_cold_p50(steady, 0.4, 1.0, 10.0,
+                                membw_before=2.0,
+                                membw_after=2.0) is not None  # the hole
+    assert bench.quiet_cold_p50(steady, 0.4, 1.0, 10.0,
+                                membw_before=2.0, membw_after=2.0,
+                                membw_floor_gbps=4.0) is None  # closed
+    # healthy section passes the floor untouched
+    assert bench.quiet_cold_p50(bw_trials[2:], 0.4, 1.0, 10.0,
+                                membw_before=10.0, membw_after=10.0,
+                                membw_floor_gbps=4.0) == 2.4
+
+
+def test_membw_quiet_floor(monkeypatch):
+    import bench
+
+    monkeypatch.setenv("AVEDE_MEMBW_FLOOR_GBPS", "3.5")
+    assert bench.membw_quiet_floor() == 3.5
+    monkeypatch.delenv("AVEDE_MEMBW_FLOOR_GBPS")
+    # ledger-derived: 0.4 × best historic pre-trial probe
+    floor = bench.membw_quiet_floor()
+    import json as _json
+    from pathlib import Path
+    ledger = _json.loads(
+        (Path(bench.__file__).parent / "BENCH_LAST_GOOD.json")
+        .read_text())
+    hist = ledger.get("detail", {}).get("history", [])
+    best = max((e.get("membw_gbps") or 0.0) for e in hist)
+    assert floor == (round(0.4 * best, 2) if best > 0.0 else 0.0)

@@ -18,6 +18,34 @@ class TestFrameRetention:
         assert set(hit) == {ts_key(0.5), ts_key(0.0)}
         np.testing.assert_array_equal(hit[ts_key(0.5)], frames[1])
 
+    def test_cross_frame_ms_key_collision_poisons(self):
+        """Two DIFFERENT timestamps quantizing to one ms key are
+        different frames — the key must go dark (lookup miss → decode
+        fallback), not serve whichever frame was retained last. The
+        per-request duplicate check in ``_embed_rows_from_retention``
+        can't see this case when only one of the colliding rows is
+        requested (round-5 review finding)."""
+        r = FrameRetention(budget_mb=64)
+        r.begin("vid")
+        a = np.full((1, 4, 4, 3), 10, np.uint8)
+        b = np.full((1, 4, 4, 3), 200, np.uint8)
+        t0, t1 = 0.9996, 1.0004
+        assert ts_key(t0) == ts_key(t1)
+        r.add("vid", a, [t0])
+        r.add("vid", b, [t1])       # collides with a's key
+        assert r.lookup("vid", [t0]) == {}
+        assert r.lookup("vid", [t1]) == {}
+        # a later frame re-using the poisoned key stays dark too
+        r.add("vid", a, [t0])
+        assert r.lookup("vid", [t0]) == {}
+        # equal timestamps (duplicated pts) are the same frame: fine
+        r2 = FrameRetention(budget_mb=64)
+        r2.begin("vid")
+        r2.add("vid", a, [t0])
+        r2.add("vid", a, [t0])
+        hit = r2.lookup("vid", [t0])
+        np.testing.assert_array_equal(hit[ts_key(t0)], a[0])
+
     def test_other_video_misses(self):
         r = FrameRetention(budget_mb=64)
         r.begin("a")

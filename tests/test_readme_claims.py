@@ -82,3 +82,35 @@ def test_generators_render_from_partial_artifacts():
     assert update_readme_perf.BEGIN in perf and "—" in perf
     ev = update_readme_eval.render({})
     assert update_readme_eval.BEGIN in ev and "—" in ev
+
+
+def test_eval_stamp_uses_per_section_provenance():
+    """The eval block's measurement stamp must not attribute every
+    section to the latest merge's rev: single-rev artifacts cite that
+    rev, mixed-rev artifacts cite the range, and artifacts whose
+    sections predate per-section stamps fall back to an honest
+    'last refresh was --mode X' line (round-5 review finding)."""
+    from tools.update_readme_eval import render
+
+    m = {"seed": 0, "date": "2026-08-19T02:00:00+00:00",
+         "git_rev": "aaaa111", "backend": "tpu"}
+    uniform = {"image_retrieval": {}, "caption_trained": {},
+               "meta": {**m, "mode": "all"},
+               "meta_by_mode": {"image_retrieval": m,
+                                "caption_trained": m}}
+    out = render(uniform)
+    assert "git aaaa111" in out and "--mode all" not in out
+    mixed = dict(uniform)
+    mixed["meta_by_mode"] = {
+        "image_retrieval": m,
+        "caption_trained": {**m, "git_rev": "bbbb222",
+                            "date": "2026-08-20T03:00:00+00:00"}}
+    out = render(mixed)
+    assert "aaaa111" in out and "bbbb222" in out
+    assert "measured individually" in out
+    # a section missing its stamp → the whole-table claim is dropped
+    partial = dict(uniform)
+    partial["meta_by_mode"] = {"image_retrieval": m}
+    partial["meta"] = {**m, "mode": "caption"}
+    out = render(partial)
+    assert "last refresh was `--mode caption`" in out

@@ -123,16 +123,42 @@ def render(ev: dict) -> str:
         ("`library`", "whole-library video@1 / hit@1 (device index)",
          f"{_f(lib.get('video_at_1'))} / {_f(lib.get('hit_at_1'))}"),
     ]
+    # provenance stamp: sections are refreshed individually (eval.py
+    # single-mode merges), so the honest citation is the per-section
+    # meta_by_mode range — claiming one rev for all 9 modes would
+    # misattribute numbers measured at earlier revisions
+    by_mode = ev.get("meta_by_mode") or {}
+    sections = [k for k in ev
+                if k not in ("meta", "meta_by_mode")]
+    if not all(k in by_mode for k in sections):
+        by_mode = {}  # partial stamps → fall back to honest legacy line
+    stamps = [by_mode[k] for k in sorted(by_mode)
+              if isinstance(by_mode.get(k), dict)]
+    revs = sorted({s.get("git_rev") or "?" for s in stamps})
+    dates = sorted({(s.get("date") or "?")[:10] for s in stamps})
+    backends = sorted({s.get("backend") or "?" for s in stamps})
+    if stamps and len(revs) == 1 and len(dates) == 1:
+        stamp = (f"sections measured at git {revs[0]} on {dates[0]}, "
+                 f"{'/'.join(backends)} backend")
+    elif stamps:
+        stamp = (f"sections measured individually between "
+                 f"{dates[0]} and {dates[-1]} (git "
+                 f"{', '.join(revs)}; {'/'.join(backends)} backend) — "
+                 "per-section provenance in EVAL.json `meta_by_mode`")
+    else:  # legacy artifact without per-section stamps
+        stamp = (f"seed {meta.get('seed', '?')}, "
+                 f"{meta.get('backend', '?')} backend, "
+                 f"{meta.get('date', '?')}, git "
+                 f"{meta.get('git_rev', '?')} — last refresh was "
+                 f"`--mode {meta.get('mode', '?')}`")
     lines = [
         BEGIN,
         "<!-- GENERATED from EVAL.json by tools/update_readme_eval.py "
         "— edit the template, not this block; "
         "tests/test_readme_claims.py enforces it -->",
         "",
-        f"Measured by `python eval.py --mode all --out EVAL.json` "
-        f"(committed artifact: seed {meta.get('seed', '?')}, "
-        f"{meta.get('backend', '?')} backend, {meta.get('date', '?')}, "
-        f"git {meta.get('git_rev', '?')}). The table renders from "
+        f"Measured by `python eval.py --mode <mode> --out EVAL.json` "
+        f"(committed artifact; {stamp}). The table renders from "
         "EVAL.json; `tests/test_readme_claims.py` fails on drift.",
         "",
         "| mode | metric | value |",
