@@ -76,8 +76,10 @@ def render(artifact: dict) -> str:
          f"p50 {_rng(spread, 'cold_e2e_p50_s', 2)} s across ledger "
          f"runs; **quiet-host p50 {_rng(spread, 'cold_quiet_s', 2)} s** "
          f"(pre-section 1-min load ≤ "
-         f"{_fmt(ce.get('quiet_load_threshold'), 1)} and per-trial CPU "
-         "steal under threshold — sibling-VM pressure never shows in "
+         f"{_fmt(ce.get('quiet_load_threshold'), 1)}, per-trial CPU "
+         "steal under threshold, and per-trial memcpy-bandwidth probes "
+         "above both the section-relative gate and the ledger-derived "
+         "absolute floor — sibling-VM pressure never shows in "
          "loadavg); best single "
          f"trial {_rng(spread, 'cold_e2e_best_s', 2)} s. The "
          "measurement host is a shared 1-core VM — per-run load and "
