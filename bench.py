@@ -925,6 +925,7 @@ def _ledger_entry(result: dict, carried: list) -> dict:
         entry["quiet_wait_s"] = ce.get("quiet_wait_s")
         entry["membw_gbps"] = ce.get("membw_gbps_before_trials")
         entry["membw_gbps_after"] = ce.get("membw_gbps_after_trials")
+        entry["membw_floor_gbps"] = ce.get("membw_floor_gbps")
         steals = [t["steal_pct"] for t in ce.get("trials", [])
                   if t.get("steal_pct") is not None]
         if steals:
