@@ -42,7 +42,52 @@ from ..utils.logging import get_logger
 
 logger = get_logger(__name__)
 
-FACE_W, BODY_W, VISUAL_W = 0.6, 0.3, 0.1
+def fit_fusion_weights(sims: Sequence[Dict[str, float]],
+                       labels: Sequence[bool],
+                       steps: int = 400, lr: float = 0.5,
+                       l2: float = 1e-3) -> Dict[str, float]:
+    """Learn the face/body/visual fusion weights from labeled matches.
+
+    Score-level fusion calibration (the standard re-ID/biometrics
+    recipe): logistic regression over the per-cue cosines of scored
+    candidates, with the coefficients positive-clipped and
+    L1-normalized into the convex weights ``similarity()`` consumes.
+    The reference fixes the weights at 0.6/0.3/0.1
+    (``enhanced_person_detector.py:738-822``); this framework ships
+    those as the settings default (``PERSON_FEATURE_WEIGHTS``) and
+    lets ``eval.py --mode person`` fit them on a held-out synthetic
+    validation video, where each cue's actual reliability is
+    measurable — at the fixed weights the hand-crafted body/visual
+    cosines measurably diluted the trained identity cue (EVAL.json
+    person ablations: full-fusion frame-p@k 0.79 vs appearance-only
+    0.83).
+
+    ``sims``: per-candidate ``{"face","body","visual"}`` cosines (the
+    match records' ``*_similarity`` fields); ``labels``: whether the
+    candidate detection really is the queried person. Degenerate
+    inputs (no rows, one class, or no positively-predictive cue)
+    return the settings default unchanged."""
+    keys = ("face", "body", "visual")
+    X = np.array([[float(s.get(k) or 0.0) for k in keys]
+                  for s in sims], np.float64)
+    y = np.asarray(labels, np.float64)
+    if len(X) == 0 or float(y.min()) == float(y.max()):
+        return dict(settings.PERSON_FEATURE_WEIGHTS)
+    mu, sd = X.mean(0), X.std(0) + 1e-6
+    xn = (X - mu) / sd
+    w = np.zeros(len(keys))
+    b = 0.0
+    for _ in range(steps):
+        p = 1.0 / (1.0 + np.exp(-(xn @ w + b)))
+        w -= lr * (xn.T @ (p - y) / len(y) + l2 * w)
+        b -= lr * float(np.mean(p - y))
+    # back to cosine units; a negative coefficient means the cue is
+    # anti-predictive here — clip to zero rather than flip its sign
+    raw = np.maximum(w / sd, 0.0)
+    if raw.sum() <= 0:
+        return dict(settings.PERSON_FEATURE_WEIGHTS)
+    raw /= raw.sum()
+    return {k: float(v) for k, v in zip(keys, raw)}
 
 
 @dataclasses.dataclass
@@ -211,8 +256,17 @@ class PersonDetector:
 
     def __init__(self, engine: ClipEngine, yolo=None,
                  appearance=None, face_yolo=None,
-                 face_embedder=None) -> None:
+                 face_embedder=None,
+                 fusion_weights: Optional[Dict[str, float]] = None
+                 ) -> None:
         self.engine = engine
+        # convex face/body/visual mix: the settings default is the
+        # reference's fixed 0.6/0.3/0.1 contract; callers may inject
+        # weights fit by ``fit_fusion_weights`` instead
+        self.fusion_weights = {
+            k: float(v)
+            for k, v in (fusion_weights
+                         or settings.PERSON_FEATURE_WEIGHTS).items()}
         self._yolo = yolo
         self._yn = self._load_face_yn()
         self.appearance = appearance or self._load_appearance()
@@ -435,8 +489,10 @@ class PersonDetector:
         return out
 
     def similarity(self, ref: Dict, cand: Dict) -> Dict[str, float]:
-        """Weighted 0.6 face + 0.3 body + 0.1 visual; missing modalities
-        renormalize (reference ``:738-822``).
+        """Convex face/body/visual mix (``self.fusion_weights`` —
+        default the reference's fixed 0.6/0.3/0.1, optionally fit by
+        ``fit_fusion_weights``); missing modalities renormalize
+        (reference ``:738-822``).
 
         The 0.6 face term fuses the available learned identity cues:
         the appearance embedding of the head region and the face
@@ -464,7 +520,7 @@ class PersonDetector:
                          else None),
                 "body": _cos(ref.get("body"), cand.get("body")),
                 "visual": _cos(ref.get("visual"), cand.get("visual"))}
-        weights = {"face": FACE_W, "body": BODY_W, "visual": VISUAL_W}
+        weights = self.fusion_weights
         total_w = sum(weights[k] for k, v in sims.items() if v is not None)
         if total_w == 0:
             return {"similarity": 0.0, **{f"{k}_similarity": 0.0

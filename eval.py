@@ -1159,31 +1159,41 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
     target = with_outfit(held[0], rng)
     distractors = [with_outfit(d, rng) for d in held[1:8]]
     tmp = tempfile.mkdtemp(prefix="avede_person_")
-    video = os.path.join(tmp, "people.mp4")
-    fps = 4.0
-    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), fps,
-                        (128, 128))
-    gt_target = []  # frame indices where the target appears
-    fi = 0
-    for block in range(8):
-        with_target = block % 2 == 0
-        pool = [d for j, d in enumerate(distractors)
-                if j % 4 != block % 4]
-        for _ in range(6):
-            idents = ([target] if with_target else []) \
-                + pool[: 4 - int(with_target)]
-            frame, _ = draw_people(idents, rng, frame_hw=(128, 128))
-            if with_target:
-                gt_target.append(fi)
-            w.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
-            fi += 1
-    w.release()
 
-    # the reference image is a person CROP (the product's typical UX;
-    # process_reference's area gate assumes it)
-    rf, rb = draw_person(target, rng, frame_hw=(128, 128), person_h=80)
-    x0, y0, x1, y1 = (int(v) for v in rb)
-    ref_frame = rf[max(0, y0 - 6):y1 + 6, max(0, x0 - 6):x1 + 6]
+    def build_crowd_video(tgt, pool_ids, tag):
+        """8 blocks × 6 frames, target present in alternating blocks
+        among 3 distractors → (path, gt frame indices, gt target box
+        per frame, reference crop). The reference image is a person
+        CROP (the product's typical UX; process_reference's area gate
+        assumes it)."""
+        path = os.path.join(tmp, f"people_{tag}.mp4")
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             4.0, (128, 128))
+        gt_frames, gt_boxes = [], {}
+        fi = 0
+        for block in range(8):
+            with_target = block % 2 == 0
+            pool = [d for j, d in enumerate(pool_ids)
+                    if j % 4 != block % 4]
+            for _ in range(6):
+                idents = ([tgt] if with_target else []) \
+                    + pool[: 4 - int(with_target)]
+                frame, bbs = draw_people(idents, rng,
+                                         frame_hw=(128, 128))
+                if with_target:
+                    gt_frames.append(fi)
+                    gt_boxes[fi] = bbs[0]
+                wr.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                fi += 1
+        wr.release()
+        rf, rb = draw_person(tgt, rng, frame_hw=(128, 128),
+                             person_h=80)
+        x0, y0, x1, y1 = (int(v) for v in rb)
+        ref = rf[max(0, y0 - 6):y1 + 6, max(0, x0 - 6):x1 + 6]
+        return path, gt_frames, gt_boxes, ref
+
+    video, gt_target, _, ref_frame = build_crowd_video(
+        target, distractors, "test")
 
     def run_search(detector: PersonDetector) -> dict:
         """Crowd search with one feature configuration → rank metrics.
@@ -1218,14 +1228,46 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
             "matches_found": out["total_found"],
         }
 
+    # learn the fusion weights on a HELD-OUT validation video: fresh
+    # target + distractor identities (the weights must transfer across
+    # people), labels from IoU≥0.5 against the target's GT box — the
+    # same val/test split methodology as the OWL threshold. At the
+    # reference's fixed 0.6/0.3/0.1 the hand-crafted body/visual
+    # cosines diluted the trained identity cue (frame-p@k 0.79 vs
+    # appearance-only 0.83, EVAL.json 2026-08-19).
+    from avede_tpu.services.person_detector import fit_fusion_weights
+
+    val_ids = [with_outfit(make_identity(rng), rng) for _ in range(8)]
+    val_video, _, val_boxes, val_ref = build_crowd_video(
+        val_ids[0], val_ids[1:], "val")
+    fixed_det = PersonDetector(
+        engine, yolo=yolo, appearance=embedder,
+        face_yolo=face_yolo, face_embedder=face_embedder)
+    val_out = PersonSearchService(
+        engine, detector=fixed_det).process_video_for_person(
+        val_video, val_ref, similarity_threshold=0.0, frame_skip=1,
+        temporal_consistency=False)
+    val_feats = [{"face": m["face_similarity"],
+                  "body": m["body_similarity"],
+                  "visual": m["visual_similarity"]}
+                 for m in val_out["matches"]]
+    val_labels = [m["frame_index"] in val_boxes
+                  and _iou_xyxy(m["bbox"],
+                                val_boxes[m["frame_index"]]) >= 0.5
+                  for m in val_out["matches"]]
+    learned_w = fit_fusion_weights(val_feats, val_labels)
+
     # ablations (round-3 verdict item 4): the face term must be shown
-    # to CONTRIBUTE — full fusion vs each identity cue alone vs the
-    # untrained geometric gray-crop fallback, all through the real
-    # streaming service on the same video + reference
+    # to CONTRIBUTE — learned fusion vs the reference's fixed weights
+    # vs each identity cue alone vs the untrained geometric gray-crop
+    # fallback, all through the real streaming service on the same
+    # test video + reference
     ablations = {
         "full": run_search(PersonDetector(
             engine, yolo=yolo, appearance=embedder,
-            face_yolo=face_yolo, face_embedder=face_embedder)),
+            face_yolo=face_yolo, face_embedder=face_embedder,
+            fusion_weights=learned_w)),
+        "fixed_reference_weights": run_search(fixed_det),
         "appearance_only": run_search(PersonDetector(
             engine, yolo=yolo, appearance=embedder)),
         "face_only": run_search(PersonDetector(
@@ -1245,6 +1287,9 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
             "person_recall_at_k": full["recall_at_k"],
             "person_recall": full["recall"],
             "ablations": ablations,
+            "fusion_weights_learned": learned_w,
+            "fusion_val_candidates": len(val_feats),
+            "fusion_val_positives": int(sum(val_labels)),
             "scene": "128px crowd, 4 people/frame",
             "matches_found": full["matches_found"],
             "reid_final_loss": reid_loss,

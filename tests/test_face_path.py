@@ -151,3 +151,65 @@ class TestFaceFusion:
         assert feats[0]["face"] is not None
         assert feats[0]["face"].shape == (16,)
         assert feats[0]["identity"] is None   # no appearance encoder
+
+
+class TestFusionWeights:
+    """Learned score-level fusion (``fit_fusion_weights``) and the
+    injectable ``PersonDetector.fusion_weights`` it feeds."""
+
+    def test_fit_recovers_informative_cue(self):
+        from avede_tpu.services.person_detector import fit_fusion_weights
+
+        rng = np.random.default_rng(0)
+        labels = rng.random(200) < 0.3
+        # face separates the classes; body/visual are pure noise
+        sims = [{"face": (0.8 if lab else 0.1)
+                 + float(rng.normal(0, 0.05)),
+                 "body": float(rng.random()),
+                 "visual": float(rng.random())} for lab in labels]
+        w = fit_fusion_weights(sims, labels)
+        assert w["face"] > 0.8
+        assert sum(w.values()) == pytest.approx(1.0)
+
+    def test_fit_degenerate_returns_settings_default(self):
+        from avede_tpu.services.person_detector import fit_fusion_weights
+        from avede_tpu.utils.config import settings
+
+        default = dict(settings.PERSON_FEATURE_WEIGHTS)
+        assert fit_fusion_weights([], []) == default
+        one_class = [{"face": 0.5, "body": 0.4, "visual": 0.3}] * 4
+        assert fit_fusion_weights(one_class, [True] * 4) == default
+
+    def test_detector_honors_injected_weights(self, tiny_clip):
+        from avede_tpu.models.clip import tiny_test_config
+        from avede_tpu.parallel.embed import ClipEngine
+        from avede_tpu.services.person_detector import PersonDetector
+        from avede_tpu.utils.config import settings
+
+        _, params = tiny_clip
+        engine = ClipEngine(cfg=tiny_test_config(), params=params)
+
+        class _NoYolo:
+            pass
+
+        # default comes from settings (the reference's 0.6/0.3/0.1)
+        det = PersonDetector(engine, yolo=_NoYolo())
+        assert det.fusion_weights == dict(settings.PERSON_FEATURE_WEIGHTS)
+
+        e = np.eye(3, dtype=np.float32)
+        ref = {"identity": e[0], "face": None, "body": e[1],
+               "visual": None}
+        cand = {"identity": e[0], "face": None, "body": e[2],
+                "visual": None}
+        face_only = PersonDetector(
+            engine, yolo=_NoYolo(),
+            fusion_weights={"face": 1.0, "body": 0.0, "visual": 0.0})
+        body_only = PersonDetector(
+            engine, yolo=_NoYolo(),
+            fusion_weights={"face": 0.0, "body": 1.0, "visual": 0.0})
+        # identity cues agree (face term 1), body cues orthogonal (0):
+        # the injected weights decide which one the fused score follows
+        assert face_only.similarity(ref, cand)["similarity"] == \
+            pytest.approx(1.0)
+        assert body_only.similarity(ref, cand)["similarity"] == \
+            pytest.approx(0.0)

@@ -98,8 +98,15 @@ def render(ev: dict) -> str:
          f"{_f(per.get('face_detector_iou'))}"),
         ("`person`",
          "crowd search (4 people/frame) frame-p@k / recall through "
-         "`PersonSearchService` — full fusion",
+         "`PersonSearchService` — full fusion"
+         + (", weights fit on a held-out validation video "
+            "(`fit_fusion_weights`)"
+            if "fixed_reference_weights" in abl else ""),
          ablrow("full")),
+    ] + ([
+        ("`person`", "… ablation: the reference's fixed 0.6/0.3/0.1 "
+         "fusion weights", ablrow("fixed_reference_weights")),
+    ] if "fixed_reference_weights" in abl else []) + [
         ("`person`", "… ablation: appearance cue only",
          ablrow("appearance_only")),
         ("`person`", "… ablation: face cue only (trained detector + "
