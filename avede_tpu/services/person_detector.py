@@ -521,12 +521,14 @@ class PersonDetector:
                 "body": _cos(ref.get("body"), cand.get("body")),
                 "visual": _cos(ref.get("visual"), cand.get("visual"))}
         weights = self.fusion_weights
-        total_w = sum(weights[k] for k, v in sims.items() if v is not None)
+        total_w = sum(weights.get(k, 0.0)
+                      for k, v in sims.items() if v is not None)
         if total_w == 0:
             return {"similarity": 0.0, **{f"{k}_similarity": 0.0
                                           for k in sims}}
-        combined = sum(weights[k] * max(v, 0.0)
-                       for k, v in sims.items() if v is not None) / total_w
+        combined = sum(weights.get(k, 0.0) * max(v, 0.0)
+                       for k, v in sims.items()
+                       if v is not None) / total_w
         return {"similarity": float(combined),
                 **{f"{k}_similarity": float(max(v, 0.0))
                    if v is not None else 0.0 for k, v in sims.items()}}
