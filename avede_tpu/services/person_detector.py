@@ -45,7 +45,11 @@ logger = get_logger(__name__)
 def fit_fusion_weights(sims: Sequence[Dict[str, float]],
                        labels: Sequence[bool],
                        steps: int = 400, lr: float = 0.5,
-                       l2: float = 1e-3) -> Dict[str, float]:
+                       l2: float = 1e-3,
+                       keys: Tuple[str, ...] = ("face", "body",
+                                                "visual"),
+                       fallback: Optional[Dict[str, float]] = None
+                       ) -> Dict[str, float]:
     """Learn the face/body/visual fusion weights from labeled matches.
 
     Score-level fusion calibration (the standard re-ID/biometrics
@@ -62,17 +66,23 @@ def fit_fusion_weights(sims: Sequence[Dict[str, float]],
     person ablations: full-fusion frame-p@k 0.79 vs appearance-only
     0.83).
 
-    ``sims``: per-candidate ``{"face","body","visual"}`` cosines (the
-    match records' ``*_similarity`` fields); ``labels``: whether the
-    candidate detection really is the queried person. Degenerate
-    inputs (no rows, one class, or no positively-predictive cue)
-    return the settings default unchanged."""
-    keys = ("face", "body", "visual")
+    ``sims``: per-candidate cue cosines under ``keys``; ``labels``:
+    whether the candidate detection really is the queried person.
+    With the default 3-way ``keys`` the face feature is the composite
+    face term; pass ``("identity", "face", "body", "visual")`` to fit
+    the raw cues separately — ``similarity()`` switches to the 4-way
+    effective-weight mix whenever the weights carry an ``identity``
+    key (the face feature must then be the confidence-faded
+    ``conf·face_cos``, matching consumption). Degenerate inputs (no
+    rows, one class, or no positively-predictive cue) return
+    ``fallback`` (default: the settings weights) unchanged."""
+    fallback = dict(settings.PERSON_FEATURE_WEIGHTS
+                    if fallback is None else fallback)
     X = np.array([[float(s.get(k) or 0.0) for k in keys]
                   for s in sims], np.float64)
     y = np.asarray(labels, np.float64)
     if len(X) == 0 or float(y.min()) == float(y.max()):
-        return dict(settings.PERSON_FEATURE_WEIGHTS)
+        return fallback
     mu, sd = X.mean(0), X.std(0) + 1e-6
     xn = (X - mu) / sd
     w = np.zeros(len(keys))
@@ -85,7 +95,7 @@ def fit_fusion_weights(sims: Sequence[Dict[str, float]],
     # anti-predictive here — clip to zero rather than flip its sign
     raw = np.maximum(w / sd, 0.0)
     if raw.sum() <= 0:
-        return dict(settings.PERSON_FEATURE_WEIGHTS)
+        return fallback
     raw /= raw.sum()
     return {k: float(v) for k, v in zip(keys, raw)}
 
@@ -521,6 +531,31 @@ class PersonDetector:
                 "body": _cos(ref.get("body"), cand.get("body")),
                 "visual": _cos(ref.get("visual"), cand.get("visual"))}
         weights = self.fusion_weights
+        if "identity" in weights:
+            # 4-way learned mode: appearance-identity and the face
+            # embedding carry separate weights — the 3-way composite
+            # pre-fuses them, so a fitter could never zero a weak face
+            # embedding inside it (EVAL.json 2026-08-19: learned 3-way
+            # weights tied the fixed ones at frame-p@k 0.79 while
+            # appearance-only scored 0.83). The detector-confidence
+            # fade folds into the face cue's effective weight: a
+            # guessed face box contributes nothing. Reported
+            # *_similarity keys keep the reference schema (face =
+            # composite term).
+            conf = min(float(ref.get("face_conf") or 0.0),
+                       float(cand.get("face_conf") or 0.0))
+            raw = {"identity": id_cos, "face": face_cos,
+                   "body": sims["body"], "visual": sims["visual"]}
+            eff = {k: weights.get(k, 0.0) * (conf if k == "face"
+                                             else 1.0) for k in raw}
+            total = sum(eff[k] for k, v in raw.items() if v is not None)
+            combined = (sum(eff[k] * max(v, 0.0)
+                            for k, v in raw.items() if v is not None)
+                        / total) if total > 0 else 0.0
+            return {"similarity": float(combined),
+                    **{f"{k}_similarity": float(max(v, 0.0))
+                       if v is not None else 0.0
+                       for k, v in sims.items()}}
         total_w = sum(weights.get(k, 0.0)
                       for k, v in sims.items() if v is not None)
         if total_w == 0:

@@ -1234,8 +1234,13 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
     # same val/test split methodology as the OWL threshold. At the
     # reference's fixed 0.6/0.3/0.1 the hand-crafted body/visual
     # cosines diluted the trained identity cue (frame-p@k 0.79 vs
-    # appearance-only 0.83, EVAL.json 2026-08-19).
-    from avede_tpu.services.person_detector import fit_fusion_weights
+    # appearance-only 0.83, EVAL.json 2026-08-19), and a 3-way fit
+    # over the COMPOSITE face term couldn't recover it (tied 0.79:
+    # the weak face embedding hides inside the pre-fused term), so
+    # the fit sees the four raw cues and similarity() consumes the
+    # learned weights in its 4-way mode.
+    from avede_tpu.services.person_detector import (_cos,
+                                                    fit_fusion_weights)
 
     val_ids = [with_outfit(make_identity(rng), rng) for _ in range(8)]
     val_video, _, val_boxes, val_ref = build_crowd_video(
@@ -1243,19 +1248,40 @@ def eval_person(seed: int = 0, reid_steps: int = 800,
     fixed_det = PersonDetector(
         engine, yolo=yolo, appearance=embedder,
         face_yolo=face_yolo, face_embedder=face_embedder)
-    val_out = PersonSearchService(
-        engine, detector=fixed_det).process_video_for_person(
-        val_video, val_ref, similarity_threshold=0.0, frame_skip=1,
-        temporal_consistency=False)
-    val_feats = [{"face": m["face_similarity"],
-                  "body": m["body_similarity"],
-                  "visual": m["visual_similarity"]}
-                 for m in val_out["matches"]]
-    val_labels = [m["frame_index"] in val_boxes
-                  and _iou_xyxy(m["bbox"],
-                                val_boxes[m["frame_index"]]) >= 0.5
-                  for m in val_out["matches"]]
-    learned_w = fit_fusion_weights(val_feats, val_labels)
+    vcap = cv2.VideoCapture(val_video)
+    val_frames = []
+    while True:
+        ok, bgr = vcap.read()
+        if not ok:
+            break
+        val_frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+    vcap.release()
+    ref_feats = fixed_det.process_reference(val_ref)
+    val_feats, val_labels = [], []
+    for fi, dets in enumerate(
+            fixed_det.detect_persons(np.stack(val_frames))):
+        if not dets:
+            continue
+        feats = fixed_det.extract_features(
+            val_frames[fi], [d["bbox"] for d in dets])
+        for f in feats:
+            conf = min(float(ref_feats.get("face_conf") or 0.0),
+                       float(f.get("face_conf") or 0.0))
+            fc = _cos(ref_feats.get("face"), f.get("face"))
+            val_feats.append({
+                "identity": _cos(ref_feats.get("identity"),
+                                 f.get("identity")),
+                # confidence-faded, exactly as similarity() consumes it
+                "face": conf * fc if fc is not None else None,
+                "body": _cos(ref_feats.get("body"), f.get("body")),
+                "visual": _cos(ref_feats.get("visual"),
+                               f.get("visual"))})
+            val_labels.append(
+                fi in val_boxes
+                and _iou_xyxy(f["bbox"], val_boxes[fi]) >= 0.5)
+    learned_w = fit_fusion_weights(
+        val_feats, val_labels,
+        keys=("identity", "face", "body", "visual"))
 
     # ablations (round-3 verdict item 4): the face term must be shown
     # to CONTRIBUTE — learned fusion vs the reference's fixed weights

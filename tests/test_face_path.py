@@ -213,3 +213,62 @@ class TestFusionWeights:
             pytest.approx(1.0)
         assert body_only.similarity(ref, cand)["similarity"] == \
             pytest.approx(0.0)
+
+    def test_four_way_weights_split_identity_from_face(self, tiny_clip):
+        """With an 'identity' key the mix weighs the raw cues — a
+        fitter can zero the face embedding without losing identity —
+        and the detector-confidence fade scales the face weight."""
+        from avede_tpu.models.clip import tiny_test_config
+        from avede_tpu.parallel.embed import ClipEngine
+        from avede_tpu.services.person_detector import PersonDetector
+
+        _, params = tiny_clip
+        engine = ClipEngine(cfg=tiny_test_config(), params=params)
+
+        class _NoYolo:
+            pass
+
+        e = np.eye(4, dtype=np.float32)
+        # identity agrees (cos 1); face embedding disagrees (cos 0)
+        ref = {"identity": e[0], "face": e[1], "body": None,
+               "visual": None, "face_conf": 1.0}
+        cand = {"identity": e[0], "face": e[2], "body": None,
+                "visual": None, "face_conf": 1.0}
+        id_only = PersonDetector(
+            engine, yolo=_NoYolo(),
+            fusion_weights={"identity": 1.0, "face": 0.0,
+                            "body": 0.0, "visual": 0.0})
+        assert id_only.similarity(ref, cand)["similarity"] == \
+            pytest.approx(1.0)
+        even = PersonDetector(
+            engine, yolo=_NoYolo(),
+            fusion_weights={"identity": 0.5, "face": 0.5,
+                            "body": 0.0, "visual": 0.0})
+        # confident face box: (0.5·1 + 0.5·0) / 1.0
+        assert even.similarity(ref, cand)["similarity"] == \
+            pytest.approx(0.5)
+        # zero-confidence face box: the face weight fades away and
+        # identity carries the whole score
+        cand_low = dict(cand, face_conf=0.0)
+        assert even.similarity(ref, cand_low)["similarity"] == \
+            pytest.approx(1.0)
+        # reported fields keep the reference schema (composite term)
+        out = even.similarity(ref, cand)
+        assert set(out) == {"similarity", "face_similarity",
+                            "body_similarity", "visual_similarity"}
+
+    def test_four_way_fit_zeroes_weak_face_cue(self):
+        from avede_tpu.services.person_detector import fit_fusion_weights
+
+        rng = np.random.default_rng(3)
+        labels = rng.random(300) < 0.25
+        sims = [{"identity": (0.9 if lab else 0.05)
+                 + float(rng.normal(0, 0.04)),
+                 "face": float(rng.random()),     # noise
+                 "body": float(rng.random()),     # noise
+                 "visual": float(rng.random())} for lab in labels]
+        w = fit_fusion_weights(sims, labels,
+                               keys=("identity", "face", "body",
+                                     "visual"))
+        assert w["identity"] > 0.8
+        assert sum(w.values()) == pytest.approx(1.0)
