@@ -331,11 +331,24 @@ def _train_tiny_clip(seed: int, steps: int = 700):
     return engine, pairs, float(loss)
 
 
-def eval_text_trained(seed: int = 0, steps: int = 700) -> dict:
+def eval_text_trained(seed: int = 0, steps: int = 700,
+                      n_seeds: int = 2) -> dict:
     """Train a tiny CLIP contrastively on synthetic (shape image,
     caption) pairs, then measure text→video retrieval through the REAL
     phase-1 pipeline — the end-to-end proof that the whole path
-    (tokenize → encode → cache → window top-k) learns."""
+    (tokenize → encode → cache → window top-k) learns. Multi-seed like
+    every other trained mode; committed number = across-seed mean."""
+    runs = [_text_trained_run(seed + i, steps) for i in range(n_seeds)]
+    out = {"per_seed": runs, "n_seeds": len(runs)}
+    _spread_into(out, "precision_at_1",
+                 [r["precision_at_1"] for r in runs])
+    out["classes"] = runs[0]["classes"]
+    out["train_steps"] = steps
+    out["final_train_loss"] = runs[0]["final_train_loss"]
+    return out
+
+
+def _text_trained_run(seed: int, steps: int) -> dict:
     import cv2
 
     rng = np.random.default_rng(seed)

@@ -56,8 +56,12 @@ def render(ev: dict) -> str:
          f"{_f(gnd.get('mean_temporal_iou_std'))}"),
         ("`grounding`", "tIoU@0.5 / tIoU@0.7",
          f"{_f(gnd.get('tiou_at_0.5'))} / {_f(gnd.get('tiou_at_0.7'))}"),
-        ("`text`", "text→video retrieval p@1 (phase-1 pipeline)",
-         _f(txt.get("precision_at_1"), 4)),
+        ("`text`", "text→video retrieval p@1 (phase-1 pipeline"
+         + (f", mean of {txt.get('n_seeds')} seeds"
+            if txt.get("n_seeds") else "") + ")",
+         _f(txt.get("precision_at_1"), 4)
+         + (f" (min {_f(txt.get('precision_at_1_min'), 4)})"
+            if txt.get("precision_at_1_min") is not None else "")),
         ("`detection`",
          "trained YOLO frame P / R (128px scenes, ≤5 objects, IoU≥0.5, "
          "class-aware)",
