@@ -48,7 +48,22 @@ def _spread_into(out: dict, prefix: str, vals) -> None:
     out[f"{prefix}_std"] = float(np.std(vals))
 
 
-def eval_image_retrieval(seed: int = 0, n_subjects: int = 4) -> dict:
+def eval_image_retrieval(seed: int = 0, n_subjects: int = 4,
+                         n_seeds: int = 2) -> dict:
+    """Reference-image retrieval through the real ``ImageMatcher``,
+    multi-seed like every other mode; committed numbers are the
+    across-seed mean with min/std recorded."""
+    runs = [_image_retrieval_run(seed + i, n_subjects)
+            for i in range(n_seeds)]
+    out = {"per_seed": runs, "n_seeds": len(runs),
+           "n_subjects": n_subjects}
+    _spread_into(out, "precision_at_1",
+                 [r["precision_at_1"] for r in runs])
+    _spread_into(out, "recall_at_5", [r["recall_at_5"] for r in runs])
+    return out
+
+
+def _image_retrieval_run(seed: int, n_subjects: int) -> dict:
     import cv2
 
     from avede_tpu.models.clip import init_clip, tiny_test_config
@@ -391,13 +406,25 @@ def _text_trained_run(seed: int, steps: int) -> dict:
 
 
 def eval_library(seed: int = 0, steps: int = 700,
-                 n_videos: int = 4) -> dict:
+                 n_videos: int = 4, n_seeds: int = 2) -> dict:
     """Cross-video accuracy of the device-resident library index: the
     16 trained (shape, color) classes are spread over ``n_videos``
     videos; a whole-library search for each class must surface the
     RIGHT video (video@1) at the right second (hit@1) through
     ``LibrarySearch`` → ``DeviceLibraryIndex`` (the /api/search-library
-    path)."""
+    path). Multi-seed; committed numbers are the across-seed mean."""
+    runs = [_library_run(seed + i, steps, n_videos)
+            for i in range(n_seeds)]
+    out = {"per_seed": runs, "n_seeds": len(runs)}
+    _spread_into(out, "video_at_1", [r["video_at_1"] for r in runs])
+    _spread_into(out, "hit_at_1", [r["hit_at_1"] for r in runs])
+    for k in ("classes", "videos", "frames_indexed", "index_dtype",
+              "train_steps", "final_train_loss"):
+        out[k] = runs[0][k]
+    return out
+
+
+def _library_run(seed: int, steps: int, n_videos: int) -> dict:
     import tempfile
 
     import cv2

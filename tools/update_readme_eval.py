@@ -46,8 +46,12 @@ def render(ev: dict) -> str:
                 f"{_f(a.get('recall'))}")
 
     rows = [
-        ("`image`", "reference-image retrieval p@1",
-         _f(img.get("precision_at_1"))),
+        ("`image`", "reference-image retrieval p@1"
+         + (f" (mean of {img.get('n_seeds')} seeds)"
+            if img.get("n_seeds") else ""),
+         _f(img.get("precision_at_1"))
+         + (f" (min {_f(img.get('precision_at_1_min'))})"
+            if img.get("precision_at_1_min") is not None else "")),
         ("`grounding`",
          f"mean temporal IoU over {gnd.get('n_seeds', '?')} seeds, "
          f"{gnd.get('train_steps', '?')} steps, through "
@@ -131,8 +135,13 @@ def render(ev: dict) -> str:
             if cap.get("caption_exact_match_min") is not None else "")),
         ("`caption`", "caption↔query rerank pairs correct",
          _f(cap.get("rerank_pairs_correct"))),
-        ("`library`", "whole-library video@1 / hit@1 (device index)",
-         f"{_f(lib.get('video_at_1'))} / {_f(lib.get('hit_at_1'))}"),
+        ("`library`", "whole-library video@1 / hit@1 (device index"
+         + (f", mean of {lib.get('n_seeds')} seeds"
+            if lib.get("n_seeds") else "") + ")",
+         f"{_f(lib.get('video_at_1'))} / {_f(lib.get('hit_at_1'))}"
+         + (f" (min {_f(lib.get('video_at_1_min'))} / "
+            f"{_f(lib.get('hit_at_1_min'))})"
+            if lib.get("video_at_1_min") is not None else "")),
     ]
     # provenance stamp: sections are refreshed individually (eval.py
     # single-mode merges), so the honest citation is the per-section
